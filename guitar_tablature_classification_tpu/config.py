@@ -1,0 +1,230 @@
+"""Central configuration for the TPU-native tablature framework.
+
+The reference repo has no config system: hyperparameters are hard-coded
+literals and absolute Colab/Kaggle/Windows paths (reference
+``bestengine.py:1039-1049``, ``ViT_engine.py:574-586``, ``cqt.py:69-70``,
+``jam_to_tablature.py:439-442``).  Here every entry point consumes one
+frozen dataclass tree so runs are reproducible and serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+# MIDI pitches of the open strings, low E (E2=40) to high e (E4=64).
+# Matches reference ``jam_to_tablature.py`` open_string_pitches and the
+# GuitarSet per-string annotation order (data_source 0..5).
+OPEN_STRING_MIDI: tuple[int, ...] = (40, 45, 50, 55, 59, 64)
+NUM_STRINGS: int = 6
+NUM_FRETS: int = 19  # frets 0..18; fret 0 doubles as "open / not sounding"
+
+
+@dataclass(frozen=True)
+class CQTConfig:
+    """Constant-Q transform recipe.
+
+    Defaults reproduce the training recipe of reference ``cqt.py:52-58``:
+    sr 44100, hop 1024, 96 bins, 12 bins/octave, fmin C1, |CQT|**4,
+    ``amplitude_to_db(ref=max)`` (top_db 80), then the -60 dB -> -120 dB
+    noise gate of ``cqt.py:10-13``.  The alternative serving recipe of
+    ``tablature_generator.py:619`` (sr 22050, hop 512, 84 bins, fmin C2)
+    is :func:`CQTConfig.serving_cnn`.
+    """
+
+    sample_rate: int = 44100
+    hop_length: int = 1024
+    n_bins: int = 96
+    bins_per_octave: int = 12
+    fmin: float = 32.70319566257483  # C1
+    filter_scale: float = 1.0
+    window: str = "hann"
+    magnitude_power: float = 4.0  # |CQT|**4 before dB (cqt.py:56)
+    top_db: float = 80.0  # librosa amplitude_to_db default
+    gate_threshold_db: float = -60.0  # cqt_lim threshold (cqt.py:10-13)
+    gate_floor_db: float = -120.0
+    amin: float = 1e-5  # librosa amplitude_to_db amin
+    # Analysis windowing of raw audio into model inputs.
+    window_seconds: float = 0.2
+    hop_seconds: float = 0.1
+
+    @property
+    def window_samples(self) -> int:
+        return int(self.window_seconds * self.sample_rate)
+
+    @property
+    def hop_samples(self) -> int:
+        return int(self.hop_seconds * self.sample_rate)
+
+    @property
+    def q_factor(self) -> float:
+        return self.filter_scale / (2.0 ** (1.0 / self.bins_per_octave) - 1.0)
+
+    @property
+    def n_frames(self) -> int:
+        """CQT frames per analysis window (centered frames, librosa-style)."""
+        return 1 + self.window_samples // self.hop_length
+
+    @staticmethod
+    def serving_cnn() -> "CQTConfig":
+        """The divergent CNN-inference recipe (tablature_generator.py:619)."""
+        return CQTConfig(
+            sample_rate=22050,
+            hop_length=512,
+            n_bins=84,
+            fmin=65.40639132514966,  # C2
+            window_seconds=3.0,
+            hop_seconds=1.5,
+        )
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset location, pairing and split semantics."""
+
+    features_dir: str = "cqt_features"
+    labels_dir: str = "tablatures"
+    audio_dir: str = "audio"
+    annotation_dir: str = "annotation"
+    batch_size: int = 64
+    train_ratio: float = 0.8
+    val_ratio: float = 0.1
+    split_seed: int = 42  # seeded split semantics of ViT_dataloader.py:68-71
+    image_size: int = 224
+    # dB -> [0,1] normalization of ViT_dataloader.py:31-32.
+    db_offset: float = 120.0
+    db_scale: float = 120.0
+    shuffle_seed: int = 0
+    pack_records: bool = True  # pack small .npy files into record shards
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture selection and dimensions."""
+
+    arch: str = "resnet18"  # resnet18 | vit_s8 | small_cnn
+    input_channels: int = 3
+    num_strings: int = NUM_STRINGS
+    num_frets: int = NUM_FRETS
+    trunk_dim: int = 256
+    dtype: str = "bfloat16"  # compute dtype for the backbone
+    param_dtype: str = "float32"
+    # ViT-S/8 dimensions (facebook/dino-vits8; ViT_model.py:11-15)
+    vit_hidden: int = 384
+    vit_layers: int = 12
+    vit_heads: int = 6
+    vit_patch: int = 8
+    vit_mlp_ratio: float = 4.0
+    dropout: float = 0.3
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + schedule. CNN recipe = bestengine.py:872-878; ViT recipe
+    = ViT_engine.py:244-264."""
+
+    name: str = "adam"  # adam | adamw
+    learning_rate: float = 5e-4
+    weight_decay: float = 1e-5
+    grad_clip_norm: float = 1.0
+    label_smoothing: float = 0.05
+    epochs: int = 20
+    early_stop_patience: int = 7
+    # ReduceLROnPlateau (bestengine.py:875)
+    schedule: str = "plateau"  # plateau | cosine_warm_restarts | constant
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
+    # CosineAnnealingWarmRestarts (ViT_engine.py:254)
+    cosine_t0: int = 5
+    cosine_t_mult: int = 2
+    cosine_eta_min: float = 1e-6
+    # ViT backbone lr multiplier (ViT_engine.py:244-251)
+    backbone_lr_scale: float = 1.0
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD execution.
+
+    The reference's only distribution is ``nn.DataParallel``
+    (bestengine.py:1032-1034); here data parallelism is expressed as a
+    named mesh axis consumed by ``jax.sharding`` shardings, with a second
+    (optional) ``model`` axis that shards the per-string heads.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1: use all devices
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    cqt: CQTConfig = field(default_factory=CQTConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_name: str = "best_guitar_tab_model"
+    log_every_steps: int = 50
+    profile: bool = False
+
+    @staticmethod
+    def cnn_default() -> "TrainConfig":
+        """bestengine.py main() recipe (lr 5e-4, smoothing .05, 20 epochs)."""
+        return TrainConfig()
+
+    @staticmethod
+    def vit_default() -> "TrainConfig":
+        """ViT_engine.py main() recipe (AdamW, cosine warm restarts,
+        smoothing .1, 30 epochs, patience 10, backbone lr/10)."""
+        return TrainConfig(
+            model=ModelConfig(arch="vit_s8"),
+            optim=OptimConfig(
+                name="adamw",
+                label_smoothing=0.1,
+                epochs=30,
+                early_stop_patience=10,
+                schedule="cosine_warm_restarts",
+                backbone_lr_scale=0.1,
+            ),
+            checkpoint_name="best_vit_guitar_tab_model",
+        )
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(to_dict(cfg), indent=2, sort_keys=True)
+
+
+def _from_dict(cls, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, val in d.items():
+        if key not in fields:
+            raise KeyError(f"unknown config field {cls.__name__}.{key}")
+        ftype = fields[key].type
+        sub = {
+            "cqt": CQTConfig, "data": DataConfig, "model": ModelConfig,
+            "optim": OptimConfig, "mesh": MeshConfig,
+        }
+        if key in sub and isinstance(val, dict):
+            kwargs[key] = _from_dict(sub[key], val)
+        elif isinstance(val, list):
+            kwargs[key] = tuple(val)
+        else:
+            kwargs[key] = val
+        del ftype
+    return cls(**kwargs)
+
+
+def train_config_from_json(text: str) -> TrainConfig:
+    return _from_dict(TrainConfig, json.loads(text))

@@ -1,0 +1,19 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars before the first ``import jax`` anywhere in the
+test process (standard JAX fake-backend trick for exercising pjit /
+shard_map sharding logic without TPU hardware).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

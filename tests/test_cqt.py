@@ -1,0 +1,116 @@
+"""CQT frontend: TPU path vs NumPy golden reference, plus recipe semantics."""
+
+import numpy as np
+import pytest
+
+from guitar_tablature_classification_tpu.config import CQTConfig
+from guitar_tablature_classification_tpu.ops import (
+    CQTFrontend,
+    cqt_reference,
+    frame_track,
+    make_filterbank,
+    num_windows,
+    reflect_index,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return CQTConfig()
+
+
+@pytest.fixture(scope="module")
+def frontend(cfg):
+    return CQTFrontend(cfg)
+
+
+def _tone_windows(cfg, freqs, batch):
+    rng = np.random.default_rng(0)
+    t = np.arange(cfg.window_samples) / cfg.sample_rate
+    out = []
+    for i in range(batch):
+        f = freqs[i % len(freqs)]
+        x = np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(t.shape)
+        out.append(x)
+    return np.stack(out).astype(np.float32)
+
+
+def test_filterbank_shapes(cfg):
+    fb = make_filterbank(cfg)
+    assert fb.kernels_real.shape == (fb.kernel_width, cfg.n_bins)
+    assert fb.kernel_width % cfg.hop_length == 0
+    assert int(fb.lengths.max()) <= fb.kernel_width
+    # L1 normalization: unit L1 norm per bin.
+    k = np.abs(fb.kernels_real + 1j * fb.kernels_imag).sum(axis=0)
+    np.testing.assert_allclose(k, 1.0, rtol=1e-5)
+
+
+def test_reflect_index_matches_numpy():
+    x = np.arange(10.0)
+    for pad in (3, 9, 25):
+        idx = reflect_index(10, pad)
+        np.testing.assert_array_equal(x[idx], np.pad(x, pad, mode="reflect"))
+
+
+def test_output_shape(frontend, cfg):
+    x = _tone_windows(cfg, [440.0], 3)
+    y = np.asarray(frontend(x))
+    assert y.shape == (3, cfg.n_bins, cfg.n_frames)
+    assert y.shape[1:] == frontend.output_shape()
+
+
+def test_matches_numpy_reference(frontend, cfg):
+    x = _tone_windows(cfg, [110.0, 440.0, 1318.5], 3)
+    got = np.asarray(frontend(x))
+    want = cqt_reference(x, cfg)
+    # Compare away from the -60 dB gate boundary where float32 vs float64
+    # rounding can flip the gate.
+    boundary = np.abs(want - cfg.gate_threshold_db) < 0.5
+    agree = ~boundary
+    assert agree.mean() > 0.95
+    np.testing.assert_allclose(got[agree], want[agree], atol=0.15)
+
+
+def test_value_range_and_gate(frontend, cfg):
+    x = _tone_windows(cfg, [220.0], 2)
+    y = np.asarray(frontend(x))
+    assert y.max() <= 0.0 + 1e-5
+    assert np.isclose(y.max(), 0.0, atol=1e-4)  # ref=max => peak at 0 dB
+    # Gate: nothing in (-120, -60) exclusive band below threshold.
+    below = y < cfg.gate_threshold_db
+    assert np.all(y[below] == cfg.gate_floor_db)
+
+
+def test_peak_bin_tracks_pitch(frontend, cfg):
+    # A pure tone's max-energy bin must be the nearest CQT bin.
+    for f in (82.41, 196.0, 659.26):  # E2, G3, E5
+        x = _tone_windows(cfg, [f], 1)
+        y = np.asarray(frontend(x))[0]
+        peak = int(np.argmax(y.mean(axis=1)))
+        expected = int(round(cfg.bins_per_octave * np.log2(f / cfg.fmin)))
+        assert abs(peak - expected) <= 1
+
+
+def test_single_window_unbatched(frontend, cfg):
+    x = _tone_windows(cfg, [330.0], 1)
+    y1 = np.asarray(frontend(x[0]))
+    y2 = np.asarray(frontend(x))[0]
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_frame_track_semantics(cfg):
+    sr = cfg.sample_rate
+    x = np.random.default_rng(1).standard_normal(sr).astype(np.float32)  # 1 s
+    frames = frame_track(x, cfg)
+    # (N - W) // H + 1 complete windows (cqt.py:30): (44100-8820)//4410+1 = 9
+    assert frames.shape == (9, cfg.window_samples)
+    np.testing.assert_array_equal(frames[2], x[2 * cfg.hop_samples :][: cfg.window_samples])
+    assert num_windows(cfg.window_samples - 1, cfg.window_samples, cfg.hop_samples) == 0
+
+
+def test_serving_recipe_config():
+    serving = CQTConfig.serving_cnn()
+    fe = CQTFrontend(serving)
+    x = np.random.default_rng(2).standard_normal((2, serving.window_samples))
+    y = np.asarray(fe(x.astype(np.float32)))
+    assert y.shape == (2, serving.n_bins, serving.n_frames)

@@ -1,0 +1,117 @@
+"""Flagship tablature classifiers: backbone + shared trunk + 6 string heads.
+
+All models map [B, H, W, C] spectrogram images to one [B, 6, num_frets]
+float32 logits tensor — replacing the reference's list-of-6-tensors
+convention (``bestengine.py:42-48``, ``ViT_model.py:95``) with a single
+shardable array.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from .heads import SimpleStringHeads, StringBranchHeads
+from .resnet import ResNet18
+from .small_cnn import SmallTabCNN
+from .vit import ViTBackbone
+
+Dtype = Any
+
+
+class GuitarTabNet(nn.Module):
+    """ResNet18 -> 256-d trunk -> per-string branch MLPs.
+
+    Same topology as reference ``GuitarTabNet`` (bestengine.py:18-48).
+    """
+
+    num_frets: int = 19
+    num_strings: int = 6
+    input_channels: int = 3
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNet18(
+            num_features=256, input_channels=self.input_channels,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="resnet",
+        )(x, train=train)
+        return StringBranchHeads(
+            num_frets=self.num_frets, num_strings=self.num_strings,
+            param_dtype=self.param_dtype, name="heads",
+        )(feats, train=train)
+
+
+class ViTTab(nn.Module):
+    """ViT-S/8 CLS -> fc1 512 -> fc2 256 (BN + leaky ReLU 0.1) -> heads.
+
+    Same topology as reference ``ViTGuitarTabModel`` (ViT_model.py:6-97).
+    """
+
+    num_frets: int = 19
+    num_strings: int = 6
+    input_channels: int = 3
+    hidden: int = 384
+    layers: int = 12
+    heads: int = 6
+    patch: int = 8
+    dropout: float = 0.3
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cls = ViTBackbone(
+            hidden=self.hidden, layers=self.layers, heads=self.heads,
+            patch=self.patch, input_channels=self.input_channels,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="vit",
+        )(x, train=train)
+
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            param_dtype=self.param_dtype, name=name,
+        )
+        kaiming = nn.initializers.variance_scaling(
+            2.0, "fan_out", "truncated_normal"
+        )
+        x = nn.Dropout(self.dropout, deterministic=not train)(cls)
+        x = nn.Dense(512, kernel_init=kaiming, param_dtype=self.param_dtype,
+                     name="fc1")(x)
+        x = nn.leaky_relu(bn("bn_fc1")(x), negative_slope=0.1)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(256, kernel_init=kaiming, param_dtype=self.param_dtype,
+                     name="fc2")(x)
+        x = nn.leaky_relu(bn("bn_fc2")(x), negative_slope=0.1)
+        return SimpleStringHeads(
+            num_frets=self.num_frets, num_strings=self.num_strings,
+            dropout=self.dropout / 2, param_dtype=self.param_dtype,
+            name="heads",
+        )(x, train=train)
+
+
+def build_model(cfg: ModelConfig) -> nn.Module:
+    dtype = jnp.dtype(cfg.dtype)
+    param_dtype = jnp.dtype(cfg.param_dtype)
+    if cfg.arch == "resnet18":
+        return GuitarTabNet(
+            num_frets=cfg.num_frets, num_strings=cfg.num_strings,
+            input_channels=cfg.input_channels, dtype=dtype,
+            param_dtype=param_dtype,
+        )
+    if cfg.arch == "vit_s8":
+        return ViTTab(
+            num_frets=cfg.num_frets, num_strings=cfg.num_strings,
+            input_channels=cfg.input_channels, hidden=cfg.vit_hidden,
+            layers=cfg.vit_layers, heads=cfg.vit_heads, patch=cfg.vit_patch,
+            dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
+        )
+    if cfg.arch == "small_cnn":
+        return SmallTabCNN(
+            num_frets=cfg.num_frets, num_strings=cfg.num_strings,
+            dtype=dtype, param_dtype=param_dtype,
+        )
+    raise ValueError(f"unknown arch {cfg.arch!r}")

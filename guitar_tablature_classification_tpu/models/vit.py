@@ -1,0 +1,116 @@
+"""ViT-S/8 backbone in Flax (DINO ViT-small, patch 8).
+
+TPU-native re-design of the HF ``ViTModel("facebook/dino-vits8")`` the
+reference wraps (``ViT_model.py:11-15``): pre-LN transformer encoder over
+8x8 patch tokens + CLS, attention via one fused QKV projection and
+``jax.nn.dot_product_attention``, bfloat16 compute.  Graph topology
+matches HF so pretrained torch weights import 1:1
+(:mod:`.torch_import`); parity is tested against a randomly initialized
+HF ``ViTModel`` in ``tests/test_models.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class EncoderBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    ln_eps: float = 1e-12
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        head_dim = self.hidden // self.heads
+        dense = lambda f, name: nn.Dense(  # noqa: E731
+            f, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=self.ln_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+        b, n, _ = x.shape
+
+        y = ln("ln_before")(x)
+        qkv = dense(3 * self.hidden, "qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = (b, n, self.heads, head_dim)
+        attn = jax.nn.dot_product_attention(
+            q.reshape(shape), k.reshape(shape), v.reshape(shape)
+        ).reshape(b, n, self.hidden)
+        attn = dense(self.hidden, "proj")(attn)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        x = x + attn
+
+        y = ln("ln_after")(x)
+        y = dense(self.mlp_dim, "mlp_in")(y)
+        y = nn.gelu(y, approximate=False)
+        y = dense(self.hidden, "mlp_out")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return x + y
+
+
+class ViTBackbone(nn.Module):
+    """[B, H, W, C] -> [B, hidden] CLS features (final-LN applied)."""
+
+    hidden: int = 384
+    layers: int = 12
+    heads: int = 6
+    patch: int = 8
+    mlp_ratio: float = 4.0
+    image_size: int = 224
+    input_channels: int = 3
+    dropout: float = 0.0
+    ln_eps: float = 1e-12
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        if h % self.patch or w % self.patch:
+            raise ValueError(f"input {h}x{w} not divisible by patch {self.patch}")
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.hidden, (self.patch, self.patch),
+            strides=(self.patch, self.patch), padding="VALID",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed",
+        )(x)
+        x = x.reshape(b, -1, self.hidden)  # [B, N, D]
+        n = x.shape[1]
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.hidden),
+            self.param_dtype,
+        ).astype(self.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.hidden)), x], 1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, n + 1, self.hidden), self.param_dtype,
+        ).astype(self.dtype)
+        x = x + pos
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        for i in range(self.layers):
+            x = EncoderBlock(
+                self.hidden, self.heads, int(self.hidden * self.mlp_ratio),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                ln_eps=self.ln_eps, dropout=self.dropout, name=f"block{i}",
+            )(x, train=train)
+
+        x = nn.LayerNorm(
+            epsilon=self.ln_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="ln_final",
+        )(x)
+        return x[:, 0].astype(jnp.float32)  # CLS token (ViT_model.py:86)

@@ -7,7 +7,9 @@ shard_map sharding logic without TPU hardware).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set: the machine environment pins JAX_PLATFORMS=axon (TPU tunnel),
+# which would silently route all tests through the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

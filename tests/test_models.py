@@ -1,0 +1,245 @@
+"""Model shapes + numerical parity against torch reference implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from guitar_tablature_classification_tpu.models import (
+    GuitarTabNet,
+    ResNet18,
+    SmallTabCNN,
+    ViTBackbone,
+    ViTTab,
+    build_model,
+)
+from guitar_tablature_classification_tpu.models.torch_import import (
+    guitartabnet_variables_from_torch,
+    resnet18_variables_from_torch,
+    vit_variables_from_torch,
+    vittab_variables_from_torch,
+)
+from guitar_tablature_classification_tpu.config import ModelConfig
+
+torch = pytest.importorskip("torch")
+
+
+def test_guitartabnet_shapes():
+    model = GuitarTabNet(dtype=jnp.float32)
+    x = jnp.zeros((2, 96, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 6, 19)
+    assert y.dtype == jnp.float32
+
+
+def test_small_cnn_shapes_and_train_mode():
+    model = SmallTabCNN(dtype=jnp.float32)
+    x = jnp.zeros((4, 96, 9, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert y.shape == (4, 6, 19)
+
+
+def test_build_model_factory():
+    for arch in ("resnet18", "vit_s8", "small_cnn"):
+        m = build_model(ModelConfig(arch=arch))
+        assert m is not None
+    with pytest.raises(ValueError):
+        build_model(ModelConfig(arch="nope"))
+
+
+def _torch_resnet18(num_classes=1000):
+    """torchvision-compatible resnet18 (same module names/state_dict keys),
+    built locally because torchvision is not installed in this image."""
+    import torch.nn as tnn
+
+    class TorchBasicBlock(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idt)
+
+    class TorchResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(
+                TorchBasicBlock(64, 64), TorchBasicBlock(64, 64)
+            )
+            self.layer2 = tnn.Sequential(
+                TorchBasicBlock(64, 128, 2), TorchBasicBlock(128, 128)
+            )
+            self.layer3 = tnn.Sequential(
+                TorchBasicBlock(128, 256, 2), TorchBasicBlock(256, 256)
+            )
+            self.layer4 = tnn.Sequential(
+                TorchBasicBlock(256, 512, 2), TorchBasicBlock(512, 512)
+            )
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = self.avgpool(x).flatten(1)
+            return self.fc(x)
+
+    return TorchResNet18()
+
+
+def test_resnet18_matches_torch():
+    torch.manual_seed(0)
+    tm = _torch_resnet18()
+    tm.eval()
+    variables = resnet18_variables_from_torch(tm.state_dict())
+    model = ResNet18(num_features=1000, dtype=jnp.float32)
+
+    x = np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_vit_matches_hf():
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.ViTConfig(
+        hidden_size=384, num_hidden_layers=2, num_attention_heads=6,
+        intermediate_size=1536, patch_size=8, image_size=32,
+    )
+    torch.manual_seed(0)
+    tm = transformers.ViTModel(cfg, add_pooling_layer=False)
+    tm.eval()
+    variables = vit_variables_from_torch(tm.state_dict())
+    model = ViTBackbone(
+        hidden=384, layers=2, heads=6, patch=8, image_size=32,
+        dtype=jnp.float32,
+    )
+    x = np.random.default_rng(1).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            tm(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            .last_hidden_state[:, 0]
+            .numpy()
+        )
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def _torch_guitartabnet():
+    """Reference GuitarTabNet topology (bestengine.py:18-48), random init."""
+    import torch.nn as tnn
+
+    class TorchTabNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resnet = _torch_resnet18()
+            self.resnet.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.resnet.fc = tnn.Linear(512, 256)
+            self.branches = tnn.ModuleList(
+                [
+                    tnn.Sequential(
+                        tnn.Linear(256, 128), tnn.ReLU(), tnn.BatchNorm1d(128),
+                        tnn.Dropout(0.3), tnn.Linear(128, 64), tnn.ReLU(),
+                        tnn.BatchNorm1d(64), tnn.Dropout(0.2), tnn.Linear(64, 19),
+                    )
+                    for _ in range(6)
+                ]
+            )
+
+        def forward(self, x):
+            f = self.resnet(x)
+            return [b(f) for b in self.branches]
+
+    return TorchTabNet()
+
+
+def test_guitartabnet_matches_torch_reference_topology():
+    torch.manual_seed(1)
+    tm = _torch_guitartabnet()
+    tm.eval()
+    variables = guitartabnet_variables_from_torch(tm.state_dict())
+    model = GuitarTabNet(dtype=jnp.float32)
+
+    x = np.random.default_rng(2).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = np.stack(
+            [o.numpy() for o in tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))],
+            axis=1,
+        )  # [B, 6, 19]
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_vittab_matches_torch_reference_topology():
+    transformers = pytest.importorskip("transformers")
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    cfg = transformers.ViTConfig(
+        hidden_size=384, num_hidden_layers=2, num_attention_heads=6,
+        intermediate_size=1536, patch_size=8, image_size=32,
+    )
+
+    class TorchViTTab(tnn.Module):
+        """Reference ViTGuitarTabModel topology (ViT_model.py:6-97)."""
+
+        def __init__(self):
+            super().__init__()
+            self.vit = transformers.ViTModel(cfg, add_pooling_layer=False)
+            self.dropout1 = tnn.Dropout(0.3)
+            self.fc1 = tnn.Linear(384, 512)
+            self.bn_fc1 = tnn.BatchNorm1d(512)
+            self.dropout2 = tnn.Dropout(0.3)
+            self.fc2 = tnn.Linear(512, 256)
+            self.bn_fc2 = tnn.BatchNorm1d(256)
+            self.string_heads = tnn.ModuleList(
+                [
+                    tnn.Sequential(tnn.Dropout(0.15), tnn.Linear(256, 19))
+                    for _ in range(6)
+                ]
+            )
+
+        def forward(self, x):
+            cls = self.vit(pixel_values=x).last_hidden_state[:, 0]
+            x = self.dropout1(cls)
+            x = F.leaky_relu(self.bn_fc1(self.fc1(x)), negative_slope=0.1)
+            x = self.dropout2(x)
+            x = F.leaky_relu(self.bn_fc2(self.fc2(x)), negative_slope=0.1)
+            return [h(x) for h in self.string_heads]
+
+    torch.manual_seed(2)
+    tm = TorchViTTab()
+    tm.eval()
+    variables = vittab_variables_from_torch(tm.state_dict())
+    model = ViTTab(layers=2, dtype=jnp.float32)
+
+    x = np.random.default_rng(3).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = np.stack(
+            [o.numpy() for o in tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))],
+            axis=1,
+        )
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -1,0 +1,342 @@
+"""Jitted train/eval engine.
+
+The reference's hot loop (bestengine.py:899-954) is a Python batch loop
+with per-step H2D copies, six per-string loss calls and a device->host
+sync on every ``loss.item()``.  Here one jitted ``train_step`` does
+forward + backward + optimizer update + metrics for the whole [B, 6, 19]
+problem on device; the host loop only schedules epochs, the LR schedule
+and checkpointing.  Data parallelism falls out of batch sharding over
+the mesh's ``data`` axis (XLA inserts the psum over ICI) — the SPMD
+replacement for ``nn.DataParallel`` (bestengine.py:1032-1034).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from ..config import ModelConfig, OptimConfig, TrainConfig
+from ..models import build_model
+from ..ops import (
+    db_to_unit,
+    imagenet_normalize,
+    label_smoothing_loss,
+    per_string_accuracy,
+    resize_bicubic,
+    tile_channels,
+)
+from .schedules import make_scheduler
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: core.FrozenDict[str, Any]
+    batch_stats: core.FrozenDict[str, Any]
+    opt_state: optax.OptState
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def _backbone_mask(params) -> Any:
+    """True for backbone subtrees (resnet/vit) — the ViT recipe trains the
+    backbone at lr * backbone_lr_scale (ViT_engine.py:244-251)."""
+    return {
+        k: jax.tree.map(lambda _: k in ("resnet", "vit"), v)
+        for k, v in params.items()
+    }
+
+
+def make_optimizer(cfg: OptimConfig, params=None) -> optax.GradientTransformation:
+    """torch-faithful chains:
+    adam  = clip -> L2-into-grads -> adam -> -lr   (torch Adam(weight_decay))
+    adamw = clip -> adam -> decoupled wd -> -lr    (torch AdamW)
+    """
+
+    def build(learning_rate):
+        chain = []
+        if cfg.grad_clip_norm:
+            chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+        if cfg.name == "adam":
+            if cfg.weight_decay:
+                chain.append(optax.add_decayed_weights(cfg.weight_decay))
+            chain.append(optax.scale_by_adam())
+        elif cfg.name == "adamw":
+            chain.append(optax.scale_by_adam())
+            if cfg.weight_decay:
+                chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        else:
+            raise ValueError(f"unknown optimizer {cfg.name!r}")
+        chain.append(optax.scale(-1.0 * learning_rate))
+        if cfg.backbone_lr_scale != 1.0 and params is not None:
+            chain.append(
+                optax.masked(
+                    optax.scale(cfg.backbone_lr_scale), _backbone_mask(params)
+                )
+            )
+        return optax.chain(*chain)
+
+    return optax.inject_hyperparams(build)(learning_rate=cfg.learning_rate)
+
+
+def make_preprocess(
+    model_cfg: ModelConfig, image_size: int = 224
+) -> Callable[[jax.Array], jax.Array]:
+    """[B, n_bins, n_frames] dB features -> model input images.
+
+    Device-side replacement for the CPU per-item transforms of
+    my_dataloader.py:17-30 / ViT_dataloader.py:31-51: dB -> [0,1],
+    bicubic resize, channel tile, (CNN path) ImageNet normalize.
+    """
+    arch = model_cfg.arch
+
+    def preprocess(feats: jax.Array) -> jax.Array:
+        x = db_to_unit(feats)
+        if arch == "small_cnn":
+            return x[..., None]  # raw [B, 96, T, 1], no resize needed
+        x = resize_bicubic(x, (image_size, image_size))
+        x = tile_channels(x, model_cfg.input_channels)
+        if arch == "resnet18":
+            x = imagenet_normalize(x)  # CNN/PNG path (my_dataloader.py:21-30)
+        return x
+
+    return preprocess
+
+
+def make_train_step(
+    model,
+    preprocess: Callable | None = None,
+    *,
+    smoothing: float = 0.05,
+    skip_nonfinite: bool = True,
+    frontend: Callable | None = None,
+    augment: Callable | None = None,
+):
+    """Build the jitted train step.
+
+    batch: dict with either 'features' [B,F,T] dB or 'audio' [B,W] raw
+    windows (requires ``frontend``), plus 'labels' [B,6] int frets and
+    optional 'weights' [B,6].
+    """
+
+    def _features(batch, key):
+        if "audio" in batch:
+            feats = frontend(batch["audio"])
+        else:
+            feats = batch["features"]
+        if augment is not None:
+            feats = augment(key, feats)
+        return preprocess(feats) if preprocess is not None else feats
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng, lr):
+        aug_key, dropout_key = jax.random.split(jax.random.fold_in(rng, state.step))
+        images = _features(batch, aug_key)
+        labels = batch["labels"]
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = state.apply_fn(
+                variables, images, train=True,
+                rngs={"dropout": dropout_key},
+                mutable=["batch_stats"],
+            )
+            loss = label_smoothing_loss(
+                out, labels, smoothing, weights=batch.get("weights")
+            )
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        state.opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        if skip_nonfinite:
+            # jit-safe analogue of the reference's skip-bad-batch guards
+            # (bestengine.py:935, ViT_engine.py:309-321).
+            ok = jnp.isfinite(loss)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_state,
+                state.replace(step=state.step + 1),
+            )
+        per_string, overall = per_string_accuracy(logits, labels)
+        metrics = {
+            "loss": loss,
+            "accuracy": overall,
+            "per_string_accuracy": per_string,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, preprocess=None, *, smoothing=0.05, frontend=None):
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        feats = frontend(batch["audio"]) if "audio" in batch else batch["features"]
+        images = preprocess(feats) if preprocess is not None else feats
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = state.apply_fn(variables, images, train=False)
+        labels = batch["labels"]
+        loss = label_smoothing_loss(logits, labels, smoothing)
+        per_string, overall = per_string_accuracy(logits, labels)
+        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        return {
+            "loss": loss,
+            "accuracy": overall,
+            "per_string_accuracy": per_string,
+            "correct": jnp.sum(correct, axis=0),
+            "count": jnp.full((labels.shape[1],), labels.shape[0], jnp.float32),
+        }
+
+    return eval_step
+
+
+def create_train_state(
+    model, optim_cfg: OptimConfig, rng, sample_input
+) -> TrainState:
+    variables = model.init(rng, sample_input, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(optim_cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def validate_model(state, eval_step, loader: Iterable) -> dict[str, float]:
+    """Aggregate eval metrics over a loader; per-string accuracy is the
+    exact correct/total ratio (bestengine.py:230-299 semantics)."""
+    import numpy as np
+
+    total_loss, steps = 0.0, 0
+    correct = np.zeros(6)
+    count = np.zeros(6)
+    for batch in loader:
+        m = eval_step(state, batch)
+        total_loss += float(m["loss"])
+        correct += np.asarray(m["correct"])
+        count += np.asarray(m["count"])
+        steps += 1
+    per_string = correct / np.maximum(count, 1.0)
+    return {
+        "loss": total_loss / max(steps, 1),
+        "per_string_accuracy": per_string,
+        "accuracy": float(correct.sum() / max(count.sum(), 1.0)),
+    }
+
+
+def test_model(state, eval_step, loader: Iterable) -> dict[str, float]:
+    """Per-string + overall test accuracy (bestengine.py:331-380)."""
+    return validate_model(state, eval_step, loader)
+
+
+def train_model(
+    train_loader: Iterable,
+    val_loader: Iterable,
+    config: TrainConfig | None = None,
+    *,
+    model=None,
+    state: TrainState | None = None,
+    frontend=None,
+    checkpointer=None,
+    log: Callable[[str], None] = print,
+) -> tuple[TrainState, dict]:
+    """Reference-compatible training driver (bestengine.py:870-1016):
+    epoch loop, validation, LR schedule on val loss, best-val checkpoint,
+    early stopping.  Returns (best_state, history).
+    """
+    config = config or TrainConfig()
+    ocfg = config.optim
+    if model is None:
+        model = build_model(config.model)
+    preprocess = make_preprocess(config.model, config.data.image_size)
+
+    rng = jax.random.PRNGKey(ocfg.seed)
+    if state is None:
+        init_batch = next(iter(train_loader))
+        feats = (
+            frontend(init_batch["audio"])
+            if "audio" in init_batch
+            else init_batch["features"]
+        )
+        sample = preprocess(feats[:1])
+        state = create_train_state(model, ocfg, rng, sample)
+
+    train_step = make_train_step(
+        model, preprocess, smoothing=ocfg.label_smoothing, frontend=frontend
+    )
+    eval_step = make_eval_step(
+        model, preprocess, smoothing=ocfg.label_smoothing, frontend=frontend
+    )
+    scheduler = make_scheduler(ocfg)
+
+    lr = ocfg.learning_rate
+    best_val = float("inf")
+    best_state = state
+    patience = 0
+    history: dict[str, list] = {
+        "train_loss": [], "val_loss": [], "val_accuracy": [], "lr": [],
+        "val_per_string": [], "epoch_time": [],
+    }
+
+    for epoch in range(ocfg.epochs):
+        t0 = time.perf_counter()
+        running_loss, steps = 0.0, 0
+        for batch in train_loader:
+            state, metrics = train_step(state, batch, rng, lr)
+            running_loss += float(metrics["loss"])
+            steps += 1
+        train_loss = running_loss / max(steps, 1)
+
+        val = validate_model(state, eval_step, val_loader)
+        lr = scheduler(epoch, val["loss"], lr)
+        dt = time.perf_counter() - t0
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val["loss"])
+        history["val_accuracy"].append(val["accuracy"])
+        history["val_per_string"].append(val["per_string_accuracy"].tolist())
+        history["lr"].append(lr)
+        history["epoch_time"].append(dt)
+        log(
+            f"epoch {epoch + 1}/{ocfg.epochs}: train {train_loss:.4f} "
+            f"val {val['loss']:.4f} acc {val['accuracy']:.4f} "
+            f"lr {lr:.2e} ({dt:.1f}s)"
+        )
+
+        if val["loss"] < best_val:
+            best_val = val["loss"]
+            best_state = state
+            patience = 0
+            if checkpointer is not None:
+                checkpointer.save(state, epoch=epoch, metrics=val)
+        else:
+            patience += 1
+            if patience >= ocfg.early_stop_patience:
+                log(f"early stopping at epoch {epoch + 1}")
+                break
+
+    history["best_val_loss"] = best_val
+    return best_state, history

@@ -1,0 +1,164 @@
+"""Train engine: overfit-a-batch, schedules, checkpoint resume, metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from guitar_tablature_classification_tpu.config import (
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from guitar_tablature_classification_tpu.models import build_model
+from guitar_tablature_classification_tpu.train import (
+    Checkpointer,
+    CosineAnnealingWarmRestarts,
+    ReduceLROnPlateau,
+    confusion_matrices,
+    create_train_state,
+    make_eval_step,
+    make_preprocess,
+    make_train_step,
+    per_fret_accuracy,
+    train_model,
+    validate_model,
+)
+
+
+def _fake_batch(rng, batch=16, bins=96, frames=9):
+    feats = rng.uniform(-120.0, 0.0, (batch, bins, frames)).astype(np.float32)
+    labels = rng.integers(0, 19, (batch, 6))
+    return {"features": jnp.asarray(feats), "labels": jnp.asarray(labels)}
+
+
+@pytest.fixture()
+def small_setup(_small_setup_cached):
+    """Fresh TrainState per test: train_step donates its input state."""
+    model, preprocess, batch = _small_setup_cached
+    state = create_train_state(
+        model, OptimConfig(learning_rate=3e-3), jax.random.PRNGKey(0),
+        preprocess(batch["features"][:1]),
+    )
+    return model, preprocess, state, batch
+
+
+@pytest.fixture(scope="module")
+def _small_setup_cached():
+    model_cfg = ModelConfig(arch="small_cnn", dtype="float32")
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    batch = _fake_batch(np.random.default_rng(0))
+    return model, preprocess, batch
+
+
+def test_overfit_single_batch(small_setup):
+    model, preprocess, state, batch = small_setup
+    train_step = make_train_step(model, preprocess, smoothing=0.05)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(60):
+        state, metrics = train_step(state, batch, rng, 3e-3)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    eval_step = make_eval_step(model, preprocess)
+    m = eval_step(state, batch)
+    assert float(m["accuracy"]) > 0.9  # memorized the batch
+
+
+def test_train_step_skips_nonfinite(small_setup):
+    model, preprocess, state, batch = small_setup
+    train_step = make_train_step(model, preprocess)
+    bad = dict(batch)
+    bad["features"] = batch["features"].at[0, 0, 0].set(jnp.nan)
+    params_before = np.asarray(jax.tree.leaves(state.params)[0])  # pre-donation copy
+    old_step = int(state.step)
+    new_state, metrics = train_step(state, bad, jax.random.PRNGKey(0), 1e-3)
+    assert not np.isfinite(float(metrics["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(new_state.params)[0]), params_before
+    )
+    assert int(new_state.step) == old_step + 1
+
+
+def test_plateau_scheduler_matches_torch_semantics():
+    sched = ReduceLROnPlateau(factor=0.5, patience=3)
+    lr = 1.0
+    # improving: no decay
+    for loss in (1.0, 0.9, 0.8):
+        lr = sched.step(loss, lr)
+    assert lr == 1.0
+    # stuck for patience+1 epochs -> one decay
+    for loss in (0.8, 0.8, 0.8, 0.8):
+        lr = sched.step(loss, lr)
+    assert lr == 0.5
+
+
+def test_cosine_warm_restarts():
+    torch = pytest.importorskip("torch")
+    base = 5e-4
+    model = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(model.parameters(), lr=base)
+    ts = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=5, T_mult=2, eta_min=1e-6
+    )
+    ours = CosineAnnealingWarmRestarts(base, t_0=5, t_mult=2, eta_min=1e-6)
+    for epoch in range(20):
+        want = opt.param_groups[0]["lr"]
+        got = ours.lr_at(epoch)
+        assert abs(got - want) < 1e-9, (epoch, got, want)
+        ts.step(epoch + 1)
+
+
+def test_train_model_loop_and_early_stop(tmp_path):
+    rng = np.random.default_rng(1)
+    batches = [_fake_batch(rng, batch=8) for _ in range(3)]
+    cfg = TrainConfig(
+        model=ModelConfig(arch="small_cnn", dtype="float32"),
+        optim=OptimConfig(
+            epochs=3, learning_rate=1e-3, early_stop_patience=2,
+            schedule="plateau",
+        ),
+        data=DataConfig(batch_size=8),
+    )
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    state, history = train_model(
+        batches, batches[:1], cfg, checkpointer=ckpt, log=lambda s: None
+    )
+    assert len(history["train_loss"]) <= 3
+    assert ckpt.exists()
+
+    # resume restores identical params
+    model = build_model(cfg.model)
+    preprocess = make_preprocess(cfg.model)
+    fresh = create_train_state(
+        model, cfg.optim, jax.random.PRNGKey(0),
+        preprocess(batches[0]["features"][:1]),
+    )
+    restored, meta = ckpt.restore(fresh)
+    assert "epoch" in meta
+    before = jax.tree.leaves(state.params)
+    after = jax.tree.leaves(restored.params)
+    # best state params match some saved epoch: at least shapes/dtypes equal
+    for a, b in zip(before, after):
+        assert a.shape == b.shape
+
+
+def test_validate_model_counts(small_setup):
+    model, preprocess, state, batch = small_setup
+    eval_step = make_eval_step(model, preprocess)
+    out = validate_model(state, eval_step, [batch, batch])
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert out["per_string_accuracy"].shape == (6,)
+
+
+def test_confusion_and_per_fret():
+    preds = jnp.asarray([[0, 1, 2, 3, 4, 5], [0, 1, 2, 3, 4, 5]])
+    targets = jnp.asarray([[0, 1, 2, 3, 4, 5], [1, 1, 2, 3, 4, 5]])
+    cm = np.asarray(confusion_matrices(preds, targets))
+    assert cm.shape == (6, 19, 19)
+    assert cm[0, 0, 0] == 1 and cm[0, 1, 0] == 1
+    acc, support = per_fret_accuracy(cm)
+    assert acc[0, 1] == 0.0 and acc[1, 1] == 1.0
+    assert support[0].sum() == 2

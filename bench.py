@@ -1,0 +1,117 @@
+"""Headline benchmark: end-to-end CQT -> CNN training throughput on TPU.
+
+Measures the fused jitted train step of the flagship GuitarTabNet
+(ResNet18 + string heads, bf16) *including* the on-device CQT frontend
+and preprocessing (dB->unit, bicubic resize to 224, channel tile,
+ImageNet norm) — i.e. the full per-segment work the reference spreads
+across its offline librosa CPU loop (cqt.py:36-63) and torch train loop
+(bestengine.py:899-954).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "segments/sec/chip", "vs_baseline": N}
+
+Baseline (4.4 segments/sec) is the reference-style single-core CPU
+pipeline measured on this container (tools/measure_cpu_baseline.py):
+1/(1/65 + 1/4.7) — 65 segs/s for a generous FFT-based librosa CQT proxy
+and 4.7 segs/s for the torch ResNet18 train step at batch 32.
+
+Timing notes: the axon tunnel acks block_until_ready early, so K train
+steps run inside ONE jitted lax.scan and the clock stops only after a
+device->host scalar fetch.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from guitar_tablature_classification_tpu.config import (
+    CQTConfig,
+    ModelConfig,
+    OptimConfig,
+)
+from guitar_tablature_classification_tpu.models import build_model
+from guitar_tablature_classification_tpu.ops import CQTFrontend
+from guitar_tablature_classification_tpu.train import (
+    create_train_state,
+    make_preprocess,
+    make_train_step,
+)
+
+REFERENCE_CPU_SEGMENTS_PER_SEC = 4.4
+
+BATCH = 256
+TIMED_STEPS = 20
+
+
+def build_pipeline():
+    cqt_cfg = CQTConfig()
+    model_cfg = ModelConfig(arch="resnet18")
+    frontend = CQTFrontend(cqt_cfg)
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg, image_size=224)
+    return cqt_cfg, frontend, model, preprocess
+
+
+def main():
+    cqt_cfg, frontend, model, preprocess = build_pipeline()
+
+    sample_feats = jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))
+    state = create_train_state(
+        model, OptimConfig(), jax.random.PRNGKey(0), preprocess(sample_feats)
+    )
+    train_step = make_train_step(
+        model, preprocess, smoothing=0.05, frontend=frontend
+    )
+
+    def one_step(state, key):
+        ka, kl = jax.random.split(key)
+        batch = {
+            "audio": jax.random.normal(
+                ka, (BATCH, cqt_cfg.window_samples), jnp.float32
+            ),
+            "labels": jax.random.randint(kl, (BATCH, 6), 0, 19),
+        }
+        new_state, metrics = train_step(state, batch, key, 5e-4)
+        return new_state, metrics["loss"]
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run(state, key, steps):
+        keys = jax.random.split(key, steps)
+        return jax.lax.scan(one_step, state, keys)
+
+    # Warmup / compile (both scan lengths compile separately).
+    state, warm_losses = run(state, jax.random.PRNGKey(1), 3)
+    float(warm_losses[-1])
+
+    t0 = time.perf_counter()
+    state, losses = run(state, jax.random.PRNGKey(2), TIMED_STEPS)
+    final_loss = float(losses[-1])  # forces the full round trip
+    elapsed = time.perf_counter() - t0
+
+    value = BATCH * TIMED_STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "GuitarSet segments/sec/chip (CQT->CNN train)",
+                "value": round(value, 1),
+                "unit": "segments/sec",
+                "vs_baseline": round(value / REFERENCE_CPU_SEGMENTS_PER_SEC, 1),
+                "detail": {
+                    "batch": BATCH,
+                    "timed_steps": TIMED_STEPS,
+                    "step_ms": round(1e3 * elapsed / TIMED_STEPS, 2),
+                    "final_loss": round(final_loss, 4),
+                    "model": "resnet18+string_heads bf16, 224x224",
+                    "includes": "on-device CQT + preprocess + fwd/bwd/update",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

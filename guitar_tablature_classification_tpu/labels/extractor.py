@@ -1,0 +1,144 @@
+"""Batch JAMS -> tablature label extraction.
+
+Re-implements reference ``GuitarTablatureExtractor``
+(jam_to_tablature.py:11-434) against the JSON JAMS reader: walk a
+directory of GuitarSet ``.jams``, derive the 0.2 s segment grid, emit one
+``(6, 19)`` int8 ``.npy`` per segment, and report generation statistics.
+
+Defaults reproduce the SHIPPED fixture convention (see
+:mod:`.tablature`): window-overlap per-string labels on a 0.2 s grid with
+filenames ``{track}_segment_0_{start:.2f}.npy`` — the naming measured on
+the 43,188 files in the reference's ``tablatures/`` directory.  The
+jam_to_tablature.py center-instant/lowest-fret convention (with its
+pitch_contour fallback) is available as ``convention="lowest_fret_center"``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .jams_io import Jams, load_jams
+from .tablature import (
+    tablature_from_pitch_contour,
+    tablature_lowest_fret_center,
+    tablature_per_string_window,
+)
+
+
+@dataclass
+class ExtractionStats:
+    processed_files: int = 0
+    total_segments: int = 0
+    segments_with_notes: int = 0
+    errors: list[str] = field(default_factory=list)
+
+
+class GuitarTablatureExtractor:
+    """Reference-compatible surface: construct with directories, call
+    ``process_all_files`` / ``validate_tablature_data``."""
+
+    def __init__(
+        self,
+        jams_dir: str,
+        output_dir: str,
+        *,
+        convention: str = "per_string_window",
+        window: float = 0.2,
+    ):
+        self.jams_dir = jams_dir
+        self.output_dir = output_dir
+        self.convention = convention
+        self.window = window
+        os.makedirs(output_dir, exist_ok=True)
+
+    # -- single-segment -------------------------------------------------
+    def extract_segment(self, jam: Jams, start: float) -> np.ndarray:
+        if self.convention == "per_string_window":
+            return tablature_per_string_window(jam, start, self.window)
+        if self.convention == "lowest_fret_center":
+            center = start + self.window / 2
+            tab = tablature_lowest_fret_center(jam, center)
+            if tab.sum() == 0:  # fallback (jam_to_tablature.py:317-318)
+                tab = tablature_from_pitch_contour(jam, center)
+            return tab
+        raise ValueError(f"unknown convention {self.convention!r}")
+
+    # -- per-file -------------------------------------------------------
+    def segment_starts(self, jam: Jams, duration: float | None = None):
+        dur = duration if duration is not None else jam.duration
+        if dur is None:
+            dur = max(
+                (o.time + o.duration for a in jam.annotations for o in a.observations),
+                default=0.0,
+            )
+        n = int(dur / self.window + 1e-9)  # guard float drift (0.6/0.2 -> 3)
+        return [i * self.window for i in range(n)]
+
+    def process_file(
+        self, jams_path: str, stats: ExtractionStats | None = None
+    ) -> list[str]:
+        stats = stats if stats is not None else ExtractionStats()
+        jam = load_jams(jams_path)
+        base = os.path.splitext(os.path.basename(jams_path))[0]
+        written = []
+        for start in self.segment_starts(jam):
+            tab = self.extract_segment(jam, start)
+            name = f"{base}_segment_0_{start:.2f}.npy"
+            path = os.path.join(self.output_dir, name)
+            np.save(path, tab)
+            written.append(path)
+            stats.total_segments += 1
+            # "has notes": any non-open mark (fret > 0) or multiple marks
+            if tab[:, 1:].any():
+                stats.segments_with_notes += 1
+        stats.processed_files += 1
+        return written
+
+    def process_all_files(self) -> ExtractionStats:
+        stats = ExtractionStats()
+        files = sorted(
+            f for f in os.listdir(self.jams_dir) if f.endswith(".jams")
+        )
+        for fname in files:
+            try:
+                self.process_file(os.path.join(self.jams_dir, fname), stats)
+            except Exception as exc:  # collect, keep going (:374-378)
+                stats.errors.append(f"{fname}: {exc}")
+        return stats
+
+    # -- validation -----------------------------------------------------
+    def validate_tablature_data(
+        self, sample_size: int = 100, seed: int = 0
+    ) -> dict:
+        """Distributional sanity stats over generated labels
+        (jam_to_tablature.py:387-434)."""
+        files = sorted(
+            f for f in os.listdir(self.output_dir) if f.endswith(".npy")
+        )
+        rng = np.random.default_rng(seed)
+        if len(files) > sample_size:
+            files = [files[i] for i in rng.choice(len(files), sample_size, False)]
+        empty = with_notes = 0
+        notes_per_frame = []
+        rows_with_multi = 0
+        for fname in files:
+            tab = np.load(os.path.join(self.output_dir, fname))
+            marks = int(tab.sum())
+            notes_per_frame.append(marks)
+            if tab[:, 1:].any():
+                with_notes += 1
+            else:
+                empty += 1
+            if (tab.sum(axis=1) >= 2).any():
+                rows_with_multi += 1
+        n = max(len(files), 1)
+        return {
+            "sampled": len(files),
+            "empty_ratio": empty / n,
+            "with_notes_ratio": with_notes / n,
+            "mean_marks_per_frame": float(np.mean(notes_per_frame)) if files else 0.0,
+            "multi_mark_row_ratio": rows_with_multi / n,
+        }

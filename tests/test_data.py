@@ -1,0 +1,132 @@
+"""Data layer: packing, pairing, split semantics, loaders, synthesis."""
+
+import numpy as np
+import pytest
+
+from guitar_tablature_classification_tpu.config import CQTConfig
+from guitar_tablature_classification_tpu.data import (
+    create_dataloaders,
+    load_packed,
+    load_wav,
+    make_synthetic_dataset,
+    pack_npy_dir,
+    render_performance,
+    resample,
+    torch_random_split_indices,
+)
+from guitar_tablature_classification_tpu.labels import parse_jams
+from guitar_tablature_classification_tpu.labels.tablature import (
+    tablature_per_string_window,
+)
+
+
+def _write_dataset(tmp_path, n=25):
+    feats_dir = tmp_path / "feats"
+    labels_dir = tmp_path / "tabs"
+    feats_dir.mkdir()
+    labels_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        np.save(feats_dir / f"item_{i:04d}.npy",
+                rng.uniform(-120, 0, (96, 9)).astype(np.float32))
+        tab = np.zeros((6, 19), np.int8)
+        tab[np.arange(6), rng.integers(0, 19, 6)] = 1
+        np.save(labels_dir / f"item_{i:04d}.npy", tab)
+    return str(feats_dir), str(labels_dir)
+
+
+def test_pack_and_load(tmp_path):
+    feats_dir, _ = _write_dataset(tmp_path, n=7)
+    data_path, index_path = pack_npy_dir(feats_dir, str(tmp_path / "packed"))
+    arr, names = load_packed(str(tmp_path / "packed"))
+    assert arr.shape == (7, 96, 9)
+    assert names == sorted(names)
+    orig = np.load(f"{feats_dir}/item_0003.npy")
+    np.testing.assert_array_equal(np.asarray(arr[3]), orig)
+
+
+def test_split_matches_torch_random_split():
+    torch = pytest.importorskip("torch")
+    from torch.utils.data import random_split
+
+    n = 100
+    tr, va, te = torch_random_split_indices(n, (0.8, 0.1, 0.1), seed=42)
+    g = torch.Generator().manual_seed(42)
+    splits = random_split(list(range(n)), [80, 10, 10], generator=g)
+    assert list(tr) == list(splits[0])
+    assert list(va) == list(splits[1])
+    assert list(te) == list(splits[2])
+
+
+def test_create_dataloaders(tmp_path):
+    feats_dir, labels_dir = _write_dataset(tmp_path, n=25)
+    train, val, test = create_dataloaders(
+        feats_dir, labels_dir, batch_size=8,
+        cache_dir=str(tmp_path / "cache"),
+    )
+    assert len(train) + len(val) + len(test) >= 4
+    batch = next(iter(train))
+    assert batch["features"].shape == (8, 96, 9)
+    assert batch["labels"].shape == (8, 6)
+    assert batch["weights"].shape == (8, 6)
+    # final batch is padded to the static size with zero weights
+    *_, last = iter(val)
+    assert last["features"].shape[0] == 8
+    assert last["weights"].sum() <= 8 * 6
+    # split covers every item exactly once
+    seen = sum(int(b["weights"][:, 0].sum()) for loader in (train, val, test)
+               for b in loader)
+    assert seen == 25
+
+
+def test_loader_shuffle_determinism(tmp_path):
+    feats_dir, labels_dir = _write_dataset(tmp_path, n=16)
+    train, _, _ = create_dataloaders(
+        feats_dir, labels_dir, batch_size=4, cache_dir=str(tmp_path / "c1")
+    )
+    e1 = [b["labels"].copy() for b in train]  # epoch 0
+    e2 = [b["labels"].copy() for b in train]  # epoch 1 reshuffles
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+
+def test_wav_roundtrip_and_resample(tmp_path):
+    from scipy.io import wavfile
+
+    sr = 44100
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = tmp_path / "tone.wav"
+    wavfile.write(path, sr, (x * 32767).astype(np.int16))
+    y, got_sr = load_wav(str(path))
+    assert got_sr == sr
+    np.testing.assert_allclose(y, x, atol=1e-3)
+    z = resample(y, sr, 22050)
+    assert abs(len(z) - sr // 2) <= 2
+
+
+def test_synthetic_dataset_is_learnable_signal():
+    cfg = CQTConfig()
+    tracks = make_synthetic_dataset(
+        np.random.default_rng(0), num_tracks=1, duration=1.0, cfg=cfg
+    )
+    track = tracks[0]
+    assert track["audio"].shape[0] == cfg.sample_rate
+    assert np.abs(track["audio"]).max() <= 1.0
+    jam = parse_jams(track["jams"])
+    # label of the first window reflects the events in that window
+    tab = tablature_per_string_window(jam, 0.0, 0.2)
+    active = [
+        (s, f) for (s, f, t0, d) in track["events"] if t0 < 0.2 and t0 + d > 0.0
+    ]
+    for s, f in active:
+        assert tab[s, f] == 1
+
+
+def test_synthetic_note_pitch():
+    from guitar_tablature_classification_tpu.data import render_note
+
+    sr = 44100
+    note = render_note(sr, 0.5, 69.0)  # A4 = 440 Hz
+    spec = np.abs(np.fft.rfft(note * np.hanning(len(note))))
+    peak_hz = np.argmax(spec) * sr / len(note)
+    assert abs(peak_hz - 440.0) < 3.0

@@ -1,0 +1,160 @@
+"""JAMS parsing and tablature label conventions."""
+
+import json
+
+import numpy as np
+import pytest
+
+from guitar_tablature_classification_tpu.labels import (
+    GuitarTablatureExtractor,
+    hz_to_midi,
+    midi_to_tablature_lowest_fret,
+    parse_jams,
+    tablature_lowest_fret_center,
+    tablature_per_string_window,
+    tablature_to_frets,
+)
+
+
+def _note(time, duration, value):
+    return {"time": time, "duration": duration, "value": value, "confidence": None}
+
+
+def _jams_dict(per_string_notes, duration=1.0):
+    """per_string_notes: list of 6 lists of (time, dur, midi)."""
+    return {
+        "file_metadata": {"duration": duration},
+        "annotations": [
+            {
+                "namespace": "note_midi",
+                "annotation_metadata": {"data_source": str(s)},
+                "data": [_note(*n) for n in notes],
+            }
+            for s, notes in enumerate(per_string_notes)
+        ],
+    }
+
+
+def test_parse_jams_and_string_order():
+    # shuffled data_source order must sort back to 0..5
+    obj = _jams_dict([[], [], [], [], [], []])
+    obj["annotations"] = obj["annotations"][::-1]
+    jam = parse_jams(obj)
+    anns = jam.string_annotations()
+    assert [a.data_source for a in anns] == [str(i) for i in range(6)]
+    assert jam.duration == 1.0
+
+
+def test_per_string_window_convention():
+    # E2 (midi 40) fret 0 on string 0; A2+2=47 -> fret 2 on string 1;
+    # two notes in-window on string 5
+    notes = [
+        [(0.0, 0.5, 40.0)],
+        [(0.1, 0.05, 47.0)],
+        [],
+        [],
+        [],
+        [(0.0, 0.08, 64.0), (0.1, 0.2, 69.0)],
+    ]
+    jam = parse_jams(_jams_dict(notes))
+    tab = tablature_per_string_window(jam, 0.0, 0.2)
+    assert tab.dtype == np.int8 and tab.shape == (6, 19)
+    assert tab[0, 0] == 1
+    assert tab[1, 2] == 1
+    assert tab[5, 0] == 1 and tab[5, 5] == 1  # 64->fret0, 69->fret5
+    # idle strings marked open
+    assert tab[2, 0] == 1 and tab[2].sum() == 1
+    # every row has >= 1 mark (fixture invariant)
+    assert (tab.sum(axis=1) >= 1).all()
+
+
+def test_per_string_window_overlap_semantics():
+    notes = [[(0.3, 0.5, 45.0)], [], [], [], [], []]  # starts after window
+    jam = parse_jams(_jams_dict(notes))
+    tab = tablature_per_string_window(jam, 0.0, 0.2)
+    assert tab[0, 0] == 1 and tab[0].sum() == 1  # not yet sounding
+    tab2 = tablature_per_string_window(jam, 0.2, 0.2)
+    assert tab2[0, 5] == 1  # 45 - 40 = fret 5 active in [0.2, 0.4)
+
+
+def test_lowest_fret_convention():
+    # midi 51 (Eb3): candidates s0f11, s1f6, s2f1 -> lowest fret wins
+    tab = midi_to_tablature_lowest_fret([51.0])
+    assert tab[2, 1] == 1 and tab.sum() == 1
+    # confidence below 0.5 skipped
+    tab = midi_to_tablature_lowest_fret([51.0], [0.4])
+    assert tab.sum() == 0
+    # out-of-range pitch ignored
+    tab = midi_to_tablature_lowest_fret([20.0])
+    assert tab.sum() == 0
+
+
+def test_center_instant_convention():
+    notes = [[(0.0, 0.15, 40.0)], [], [], [], [], []]
+    jam = parse_jams(_jams_dict(notes))
+    # center of window starting at 0.0 is 0.1 -> active
+    assert tablature_lowest_fret_center(jam, 0.1)[0, 0] == 1
+    # center 0.2 -> note ended
+    assert tablature_lowest_fret_center(jam, 0.2).sum() == 0
+
+
+def test_hz_to_midi():
+    assert abs(hz_to_midi(440.0) - 69.0) < 1e-9
+    assert abs(hz_to_midi(82.4068892) - 40.0) < 1e-6  # E2
+
+
+def test_tablature_to_frets_lowest_mark():
+    tab = np.zeros((6, 19), np.int8)
+    tab[0, 3] = tab[0, 7] = 1
+    assert tablature_to_frets(tab)[0] == 3  # argmax -> first/lowest mark
+
+
+def test_extractor_end_to_end(tmp_path):
+    jams_dir = tmp_path / "jams"
+    out_dir = tmp_path / "tabs"
+    jams_dir.mkdir()
+    notes = [
+        [(0.0, 0.5, 43.0)], [(0.25, 0.3, 45.0)], [], [], [], [],
+    ]
+    (jams_dir / "track01_comp.jams").write_text(
+        json.dumps(_jams_dict(notes, duration=0.6))
+    )
+    ex = GuitarTablatureExtractor(str(jams_dir), str(out_dir))
+    stats = ex.process_all_files()
+    assert stats.processed_files == 1
+    assert stats.total_segments == 3  # 0.6 s / 0.2 s grid
+    assert not stats.errors
+
+    files = sorted(out_dir.iterdir())
+    assert [f.name for f in files] == [
+        "track01_comp_segment_0_0.00.npy",
+        "track01_comp_segment_0_0.20.npy",
+        "track01_comp_segment_0_0.40.npy",
+    ]
+    t0 = np.load(files[0])
+    assert t0[0, 3] == 1  # 43 - 40
+    t1 = np.load(files[1])
+    assert t1[0, 3] == 1 and t1[1, 0] == 1  # string1 note starts at 0.25
+    report = ex.validate_tablature_data()
+    assert report["sampled"] == 3
+    assert report["with_notes_ratio"] == 1.0
+
+
+def test_shipped_fixture_statistics_match_convention():
+    """The real check against the reference's 43k shipped labels: our
+    convention's structural invariants hold on a sample of the fixtures."""
+    import os
+
+    ref_dir = "/root/reference/tablatures"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference fixtures not mounted")
+    files = sorted(os.listdir(ref_dir))[::971][:40]  # spread sample
+    multi = 0
+    for fname in files:
+        tab = np.load(os.path.join(ref_dir, fname))
+        assert tab.shape == (6, 19) and tab.dtype == np.int8
+        rows = tab.sum(axis=1)
+        assert (rows >= 1).all()  # every string marked (idle -> fret 0)
+        if (rows >= 2).any():
+            multi += 1
+    assert 0 < multi < len(files)  # multi-mark rows exist but aren't universal

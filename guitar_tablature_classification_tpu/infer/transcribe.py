@@ -1,0 +1,136 @@
+"""Batched audio -> tablature transcription.
+
+The reference serves one 0.2 s window at a time — a CPU CQT, a disk
+round trip and a batch-size-1 forward per window
+(tablature-generator (1).py:374-404; tablature_generator.py:880-893 even
+writes temp WAV + PNG files inside the loop).  Here a whole track is
+framed once, CQT'd and classified in fixed-size jitted batches (last
+batch padded — no recompilation), then mode-smoothed; a 3-minute track
+is a handful of device calls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CQTConfig, ModelConfig
+from ..models import build_model
+from ..ops import CQTFrontend, frame_track, mode_filter, window_times
+from ..train import make_preprocess
+
+
+@dataclass
+class Transcription:
+    frets: np.ndarray  # [T, 6] int
+    times: np.ndarray  # [T] seconds (window starts)
+    logits: np.ndarray | None = None
+
+
+class Transcriber:
+    """Load once, transcribe many tracks.
+
+    variables: flax variables dict ({'params': ..., 'batch_stats': ...})
+    from training, an Orbax checkpoint, or a converted torch checkpoint
+    (:mod:`..models.torch_import`).
+    """
+
+    def __init__(
+        self,
+        variables: dict,
+        *,
+        model_cfg: ModelConfig | None = None,
+        cqt_cfg: CQTConfig | None = None,
+        batch_size: int = 128,
+        image_size: int = 224,
+    ):
+        self.model_cfg = model_cfg or ModelConfig()
+        self.cqt_cfg = cqt_cfg or CQTConfig()
+        self.model = build_model(self.model_cfg)
+        self.frontend = CQTFrontend(self.cqt_cfg)
+        self.preprocess = make_preprocess(self.model_cfg, image_size)
+        self.batch_size = batch_size
+        self.variables = variables
+
+        model = self.model
+        preprocess = self.preprocess
+        frontend = self.frontend
+
+        @jax.jit
+        def _predict(variables, audio_windows):
+            feats = frontend(audio_windows)
+            images = preprocess(feats)
+            logits = model.apply(variables, images, train=False)
+            return logits  # [B, 6, 19]
+
+        self._predict = _predict
+
+    def predict_windows(self, windows: np.ndarray) -> np.ndarray:
+        """[N, window_samples] -> [N, 6, 19] logits, fixed-size batches."""
+        n = windows.shape[0]
+        b = self.batch_size
+        outs = []
+        for lo in range(0, n, b):
+            chunk = windows[lo : lo + b]
+            if chunk.shape[0] < b:  # pad to static shape
+                pad = b - chunk.shape[0]
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)]
+                )
+            logits = self._predict(self.variables, jnp.asarray(chunk))
+            outs.append(np.asarray(logits))
+        return np.concatenate(outs)[:n]
+
+    def transcribe(
+        self,
+        audio: np.ndarray,
+        *,
+        smooth_window: int = 3,
+        hop_samples: int | None = None,
+        keep_logits: bool = False,
+    ) -> Transcription:
+        """audio: 1-D float track at cqt_cfg.sample_rate."""
+        windows = np.asarray(
+            frame_track(audio.astype(np.float32), self.cqt_cfg,
+                        hop_samples=hop_samples)
+        )
+        logits = self.predict_windows(windows)
+        frets = np.argmax(logits, axis=-1)  # [T, 6]
+        if smooth_window and frets.shape[0] > smooth_window:
+            frets = np.asarray(
+                mode_filter(jnp.asarray(frets), window=smooth_window)
+            )
+        times = window_times(
+            audio.shape[0], self.cqt_cfg, hop_samples=hop_samples
+        )
+        return Transcription(
+            frets=frets,
+            times=times,
+            logits=logits if keep_logits else None,
+        )
+
+
+def transcriber_from_torch_checkpoint(
+    path: str, *, arch: str = "resnet18", **kwargs
+) -> Transcriber:
+    """Serve directly from a reference ``.pt`` checkpoint
+    (best_guitar_tab_model.pt / best_vit_guitar_tab_model.pt)."""
+    from ..models.torch_import import (
+        guitartabnet_variables_from_torch,
+        load_torch_checkpoint,
+        vittab_variables_from_torch,
+    )
+
+    sd = load_torch_checkpoint(path)
+    if arch == "resnet18":
+        variables = guitartabnet_variables_from_torch(sd)
+    elif arch == "vit_s8":
+        variables = vittab_variables_from_torch(sd)
+    else:
+        raise ValueError(f"unknown arch {arch!r}")
+    return Transcriber(
+        variables, model_cfg=ModelConfig(arch=arch), **kwargs
+    )

@@ -1,0 +1,121 @@
+"""Inference: batched transcription, text/image rendering, CLI smoke."""
+
+import numpy as np
+import jax
+import pytest
+
+from guitar_tablature_classification_tpu.config import CQTConfig, ModelConfig
+from guitar_tablature_classification_tpu.data import (
+    make_synthetic_dataset,
+    render_performance,
+)
+from guitar_tablature_classification_tpu.infer import (
+    Transcriber,
+    create_tablature_image,
+    format_tablature_text,
+    format_time_table,
+    write_tablature_file,
+)
+from guitar_tablature_classification_tpu.models import build_model
+from guitar_tablature_classification_tpu.train import make_preprocess
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    model_cfg = ModelConfig(arch="small_cnn", dtype="float32")
+    cqt_cfg = CQTConfig()
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    sample = preprocess(np.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames), np.float32))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    return Transcriber(
+        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=8
+    )
+
+
+def test_transcribe_shapes_and_batching(transcriber):
+    cfg = transcriber.cqt_cfg
+    audio = render_performance(
+        [(0, 3, 0.1, 0.8), (2, 5, 0.5, 0.5)], 1.5, cfg
+    )
+    out = transcriber.transcribe(audio, keep_logits=True)
+    # 1.5 s, 0.2 s window / 0.1 s hop -> (66150-8820)//4410+1 = 14 windows
+    assert out.frets.shape == (14, 6)
+    assert out.logits.shape == (14, 6, 19)
+    assert out.times.shape == (14,)
+    assert np.all((out.frets >= 0) & (out.frets < 19))
+    # padding of the last (14 -> 2x8) batch must not change results:
+    single = transcriber.predict_windows(
+        np.asarray(
+            __import__(
+                "guitar_tablature_classification_tpu.ops", fromlist=["frame_track"]
+            ).frame_track(audio, cfg)
+        )[:8]
+    )
+    np.testing.assert_allclose(out.logits[:8], single[:8], atol=1e-5)
+
+
+def test_format_tablature_text():
+    frets = np.zeros((4, 6), int)
+    frets[0, 5] = 3   # high e, fret 3 in window 0
+    frets[2, 0] = 12  # low E, fret 12 in window 2
+    text = format_tablature_text(frets)
+    lines = text.strip().split("\n")
+    assert len(lines) == 6
+    assert lines[0].startswith("e|3--")
+    assert lines[5].startswith("E|")
+    assert "12-" in lines[5]
+    assert all(line.endswith("|") for line in lines)
+
+
+def test_format_time_table():
+    frets = np.zeros((2, 6), int)
+    table = format_time_table(frets, [0.0, 0.1])
+    assert "Time" in table and "0.10s" in table
+
+
+def test_write_tablature_file(tmp_path):
+    path = tmp_path / "out.txt"
+    text = write_tablature_file(
+        str(path), np.zeros((3, 6), int), [0.0, 0.1, 0.2], title="demo"
+    )
+    assert path.exists()
+    assert "Guitar Tablature: demo" in text
+    assert "e|" in text
+
+
+def test_create_tablature_image(tmp_path):
+    rng = np.random.default_rng(0)
+    frets = rng.integers(0, 19, (40, 6))
+    times = np.arange(40) * 0.1
+    path = create_tablature_image(
+        frets, times, str(tmp_path / "tab.png"), title="demo"
+    )
+    from PIL import Image
+
+    img = Image.open(path)
+    assert img.size[0] == 1600
+
+
+def test_cli_smoke(tmp_path):
+    from scipy.io import wavfile
+
+    from guitar_tablature_classification_tpu.infer import cli
+
+    cfg = CQTConfig()
+    tracks = make_synthetic_dataset(
+        np.random.default_rng(0), num_tracks=1, duration=1.0, cfg=cfg
+    )
+    wav = tmp_path / "demo.wav"
+    wavfile.write(
+        str(wav), cfg.sample_rate,
+        (tracks[0]["audio"] * 32767).astype(np.int16),
+    )
+    out = tmp_path / "demo_tab.txt"
+    rc = cli.main(
+        [str(wav), "--arch", "small_cnn", "--output", str(out),
+         "--batch-size", "8"]
+    )
+    assert rc == 0
+    assert out.exists()
+    assert "e|" in out.read_text()

@@ -1,0 +1,171 @@
+"""Training entry point — the ``bestengine.py`` / ``ViT_engine.py``
+equivalent, driven by the config system.
+
+    python -m guitar_tablature_classification_tpu.train.run \
+        --features cqt_features/ --labels tablatures/ --arch resnet18
+
+With ``--synthetic`` (no GuitarSet on disk) it renders a synthetic
+performance dataset (audio + JAMS -> CQT features + labels) and trains on
+that end to end — the full pipeline without the proprietary payload.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tab-train")
+    p.add_argument("--features", default=None, help="CQT feature .npy dir")
+    p.add_argument("--labels", default=None, help="tablature .npy dir")
+    p.add_argument("--arch", default="resnet18",
+                   choices=["resnet18", "vit_s8", "small_cnn"])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--config", default=None, help="TrainConfig JSON file")
+    p.add_argument("--report-dir", default=None,
+                   help="write the visualization artifact suite here")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthesized audio/labels (no dataset needed)")
+    p.add_argument("--synthetic-tracks", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def make_config(args):
+    from ..config import (
+        DataConfig, ModelConfig, OptimConfig, TrainConfig,
+        train_config_from_json,
+    )
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = train_config_from_json(f.read())
+    elif args.arch == "vit_s8":
+        cfg = TrainConfig.vit_default()
+    else:
+        cfg = TrainConfig.cnn_default()
+        if args.arch != cfg.model.arch:
+            cfg = dataclasses.replace(cfg, model=ModelConfig(arch=args.arch))
+    optim = cfg.optim
+    if args.epochs is not None:
+        optim = dataclasses.replace(optim, epochs=args.epochs)
+    if args.learning_rate is not None:
+        optim = dataclasses.replace(optim, learning_rate=args.learning_rate)
+    data = cfg.data
+    if args.batch_size is not None:
+        data = dataclasses.replace(data, batch_size=args.batch_size)
+    return dataclasses.replace(
+        cfg, optim=optim, data=data, checkpoint_dir=args.checkpoint_dir
+    )
+
+
+def synthetic_loaders(cfg, num_tracks: int):
+    """Render tracks -> on-device CQT features + window labels -> loaders."""
+    import jax
+
+    from ..data import make_synthetic_dataset
+    from ..data.guitarset import ArrayLoader, torch_random_split_indices
+    from ..labels import parse_jams
+    from ..labels.tablature import tablature_per_string_window
+    from ..ops import CQTFrontend, frame_track
+
+    frontend = CQTFrontend(cfg.cqt)
+    rng = np.random.default_rng(cfg.optim.seed)
+    tracks = make_synthetic_dataset(rng, num_tracks, duration=4.0, cfg=cfg.cqt)
+
+    feats_list, labels_list = [], []
+    hop = cfg.cqt.window_samples  # non-overlapping 0.2 s grid (fixture grid)
+    for track in tracks:
+        windows = np.asarray(frame_track(track["audio"], cfg.cqt, hop_samples=hop))
+        feats = np.asarray(frontend(jax.numpy.asarray(windows)))
+        jam = parse_jams(track["jams"])
+        for i in range(len(windows)):
+            start = i * cfg.cqt.window_seconds
+            tab = tablature_per_string_window(jam, start, cfg.cqt.window_seconds)
+            labels_list.append(np.argmax(tab, axis=-1).astype(np.int32))
+        feats_list.append(feats)
+    features = np.concatenate(feats_list)
+    labels = np.stack(labels_list)
+
+    class _Mem:
+        pass
+
+    dataset = _Mem()
+    dataset.features = features
+    dataset.labels = labels
+    tr, va, te = torch_random_split_indices(
+        len(features), (0.8, 0.1, 0.1), cfg.data.split_seed
+    )
+    batch = min(cfg.data.batch_size, max(8, len(tr) // 4))
+    make = lambda idx, sh: ArrayLoader(  # noqa: E731
+        dataset, idx, batch, shuffle=sh, seed=cfg.data.shuffle_seed
+    )
+    return make(tr, True), make(va, False), make(te, False)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = make_config(args)
+
+    from ..data.guitarset import create_dataloaders
+    from ..train import Checkpointer, test_model, train_model
+    from ..train.engine import make_eval_step, make_preprocess
+    from ..models import build_model
+    from ..utils import MetricsLogger
+
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(cfg.checkpoint_dir, "train_log.jsonl"))
+
+    if args.synthetic:
+        train_loader, val_loader, test_loader = synthetic_loaders(
+            cfg, args.synthetic_tracks
+        )
+    else:
+        if not (args.features and args.labels):
+            raise SystemExit("--features and --labels required (or --synthetic)")
+        train_loader, val_loader, test_loader = create_dataloaders(
+            args.features, args.labels, cfg.data.batch_size, config=cfg.data
+        )
+
+    ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_name)
+    state, history = train_model(
+        train_loader, val_loader, cfg, checkpointer=ckpt,
+        log=lambda s: logger.log("epoch", msg=s),
+    )
+
+    model = build_model(cfg.model)
+    eval_step = make_eval_step(
+        model, make_preprocess(cfg.model, cfg.data.image_size),
+        smoothing=cfg.optim.label_smoothing,
+    )
+    test = test_model(state, eval_step, test_loader)
+    logger.log(
+        "test", accuracy=test["accuracy"],
+        per_string=test["per_string_accuracy"],
+    )
+    print(json.dumps({
+        "test_accuracy": test["accuracy"],
+        "per_string": test["per_string_accuracy"].tolist(),
+        "best_val_loss": history["best_val_loss"],
+    }))
+
+    if args.report_dir:
+        os.makedirs(args.report_dir, exist_ok=True)
+        from ..report import plot_training_metrics
+
+        plot_training_metrics(
+            history, os.path.join(args.report_dir, "training_metrics.png")
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,90 @@
+"""Batch CQT feature extraction over a dataset directory.
+
+Reference-compatible replacement for ``process_all_audio``
+(cqt.py:5-67) and the process-pool variant ``process_all_files_parallel``
+(new_cqt.py:46-61): same signature, same per-segment ``.npy`` outputs and
+naming, but all segments of a track go through the jitted batched CQT in
+a few device calls instead of one librosa call per 0.2 s window.  The
+process-pool fan-out disappears — a single device saturates far beyond
+what the CPU pool achieved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CQTConfig
+from .cqt import CQTFrontend
+from .framing import frame_track, window_times
+
+
+def process_all_audio(
+    dataset_path: str,
+    window_size: float = 0.2,
+    hop_size: float = 0.1,
+    save_path: str = "output",
+    *,
+    cfg: CQTConfig | None = None,
+    batch_size: int = 512,
+    fixture_naming: bool = False,
+) -> list[str]:
+    """Extract CQT features for every ``.wav`` under ``dataset_path``.
+
+    Naming follows cqt.py:62 (``{base}_segment_{k}.npy``); with
+    ``fixture_naming`` it matches the shipped tablatures' scheme
+    (``{base}_segment_0_{start:.2f}.npy``, new_cqt.py:40) so features
+    pair 1:1 with the reference label fixtures.
+    """
+    from ..data.audio import load_audio
+
+    cfg = cfg or CQTConfig()
+    if window_size != cfg.window_seconds or hop_size != cfg.hop_seconds:
+        cfg = dataclasses.replace(
+            cfg, window_seconds=window_size, hop_seconds=hop_size
+        )
+    os.makedirs(save_path, exist_ok=True)
+    frontend = CQTFrontend(cfg)
+    written: list[str] = []
+
+    wavs = sorted(
+        f for f in os.listdir(dataset_path) if f.endswith(".wav")
+    )
+    for wav in wavs:
+        audio, _ = load_audio(
+            os.path.join(dataset_path, wav), sample_rate=cfg.sample_rate
+        )
+        windows = np.asarray(frame_track(audio, cfg))
+        times = window_times(audio.shape[0], cfg)
+        base = os.path.splitext(wav)[0]
+        feats = extract_windows(frontend, windows, batch_size=batch_size)
+        for k in range(feats.shape[0]):
+            if fixture_naming:
+                name = f"{base}_segment_0_{times[k]:.2f}.npy"
+            else:
+                name = f"{base}_segment_{k}.npy"
+            path = os.path.join(save_path, name)
+            np.save(path, feats[k])
+            written.append(path)
+    return written
+
+
+def extract_windows(
+    frontend: CQTFrontend, windows: np.ndarray, *, batch_size: int = 512
+) -> np.ndarray:
+    """[N, window_samples] -> [N, n_bins, n_frames] in fixed padded
+    batches (no shape-specialized recompiles)."""
+    n = windows.shape[0]
+    outs = []
+    for lo in range(0, n, batch_size):
+        chunk = windows[lo : lo + batch_size]
+        if chunk.shape[0] < batch_size:
+            pad = batch_size - chunk.shape[0]
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)]
+            )
+        outs.append(np.asarray(frontend(jnp.asarray(chunk))))
+    return np.concatenate(outs)[:n]

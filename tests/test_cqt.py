@@ -114,3 +114,33 @@ def test_serving_recipe_config():
     x = np.random.default_rng(2).standard_normal((2, serving.window_samples))
     y = np.asarray(fe(x.astype(np.float32)))
     assert y.shape == (2, serving.n_bins, serving.n_frames)
+
+
+def test_process_all_audio(tmp_path, cfg):
+    from scipy.io import wavfile
+
+    from guitar_tablature_classification_tpu.ops.extract import (
+        process_all_audio,
+    )
+
+    audio_dir = tmp_path / "audio"
+    out_dir = tmp_path / "feats"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal(cfg.sample_rate)).astype(np.float32)  # 1 s
+    wavfile.write(str(audio_dir / "track.wav"), cfg.sample_rate,
+                  (x * 32767).astype(np.int16))
+    written = process_all_audio(
+        str(audio_dir), 0.2, 0.1, str(out_dir), batch_size=4
+    )
+    assert len(written) == 9  # (44100-8820)//4410 + 1 complete windows
+    first = np.load(written[0])
+    assert first.shape == (cfg.n_bins, cfg.n_frames)
+    assert first.max() <= 0.0 + 1e-5
+    # fixture naming variant pairs with shipped label names
+    written2 = process_all_audio(
+        str(audio_dir), 0.2, 0.2, str(tmp_path / "f2"), batch_size=4,
+        fixture_naming=True,
+    )
+    assert written2[0].endswith("track_segment_0_0.00.npy")
+    assert written2[1].endswith("track_segment_0_0.20.npy")

@@ -144,6 +144,10 @@ class OptimConfig:
     # ViT backbone lr multiplier (ViT_engine.py:244-251)
     backbone_lr_scale: float = 1.0
     seed: int = 42
+    # Spectrogram augmentation (the suite of ViT_engine.py:28-93; dormant
+    # in the reference — the call is commented out at :284).
+    augment: bool = False
+    augment_prob: float = 0.5
 
 
 @dataclass(frozen=True)

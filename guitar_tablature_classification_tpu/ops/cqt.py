@@ -106,7 +106,7 @@ class CQTFrontend:
         self.filterbank: CQTFilterbank = make_filterbank(self.cfg)
         self.kernels = jnp.asarray(self.filterbank.stacked())  # [K, 2F]
         self.precision = precision
-        self._pad_index: dict[int, jax.Array] = {}
+        self._pad_index: dict[int, np.ndarray] = {}
 
     @property
     def n_frames(self) -> int:
@@ -116,12 +116,12 @@ class CQTFrontend:
         n = num_samples if num_samples is not None else self.cfg.window_samples
         return (self.cfg.n_bins, n_frames_for(n, self.cfg.hop_length))
 
-    def _index_for(self, num_samples: int) -> jax.Array:
+    def _index_for(self, num_samples: int) -> np.ndarray:
+        # Cache NumPy (not device arrays): __call__ may run inside an outer
+        # jit trace, where caching a traced constant would leak tracers.
         idx = self._pad_index.get(num_samples)
         if idx is None:
-            idx = jnp.asarray(
-                reflect_index(num_samples, self.filterbank.kernel_width // 2)
-            )
+            idx = reflect_index(num_samples, self.filterbank.kernel_width // 2)
             self._pad_index[num_samples] = idx
         return idx
 

@@ -284,8 +284,16 @@ def train_model(
         sample = preprocess(feats[:1])
         state = create_train_state(model, ocfg, rng, sample)
 
+    augment = None
+    if ocfg.augment:
+        from functools import partial as _partial
+
+        from ..ops.augment import augment_batch
+
+        augment = _partial(augment_batch, augment_prob=ocfg.augment_prob)
     train_step = make_train_step(
-        model, preprocess, smoothing=ocfg.label_smoothing, frontend=frontend
+        model, preprocess, smoothing=ocfg.label_smoothing, frontend=frontend,
+        augment=augment,
     )
     eval_step = make_eval_step(
         model, preprocess, smoothing=ocfg.label_smoothing, frontend=frontend

@@ -162,3 +162,20 @@ def test_confusion_and_per_fret():
     acc, support = per_fret_accuracy(cm)
     assert acc[0, 1] == 0.0 and acc[1, 1] == 1.0
     assert support[0].sum() == 2
+
+
+def test_train_step_with_augmentation(_small_setup_cached):
+    from functools import partial
+
+    from guitar_tablature_classification_tpu.ops.augment import augment_batch
+
+    model, preprocess, batch = _small_setup_cached
+    state = create_train_state(
+        model, OptimConfig(), jax.random.PRNGKey(0),
+        preprocess(batch["features"][:1]),
+    )
+    train_step = make_train_step(
+        model, preprocess, augment=partial(augment_batch, augment_prob=1.0)
+    )
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(2), 1e-3)
+    assert np.isfinite(float(metrics["loss"]))

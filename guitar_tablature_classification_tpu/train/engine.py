@@ -261,11 +261,14 @@ def train_model(
     state: TrainState | None = None,
     frontend=None,
     checkpointer=None,
+    resume: bool = False,
     log: Callable[[str], None] = print,
 ) -> tuple[TrainState, dict]:
     """Reference-compatible training driver (bestengine.py:870-1016):
     epoch loop, validation, LR schedule on val loss, best-val checkpoint,
-    early stopping.  Returns (best_state, history).
+    early stopping.  ``resume=True`` restarts from the checkpointer's last
+    saved state and epoch (capability absent in the reference, which only
+    reloads its best model for final eval).  Returns (best_state, history).
     """
     config = config or TrainConfig()
     ocfg = config.optim
@@ -284,6 +287,14 @@ def train_model(
         sample = preprocess(feats[:1])
         state = create_train_state(model, ocfg, rng, sample)
 
+    start_epoch = 0
+    resumed_best = None
+    if resume and checkpointer is not None and checkpointer.exists():
+        state, meta = checkpointer.restore(state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        resumed_best = meta.get("metrics", {}).get("loss")
+        log(f"resumed from epoch {start_epoch} (step {int(state.step)})")
+
     augment = None
     if ocfg.augment:
         from functools import partial as _partial
@@ -301,7 +312,7 @@ def train_model(
     scheduler = make_scheduler(ocfg)
 
     lr = ocfg.learning_rate
-    best_val = float("inf")
+    best_val = float(resumed_best) if resumed_best is not None else float("inf")
     best_state = state
     patience = 0
     history: dict[str, list] = {
@@ -309,7 +320,7 @@ def train_model(
         "val_per_string": [], "epoch_time": [],
     }
 
-    for epoch in range(ocfg.epochs):
+    for epoch in range(start_epoch, ocfg.epochs):
         t0 = time.perf_counter()
         running_loss, steps = 0.0, 0
         for batch in train_loader:

@@ -137,7 +137,7 @@ def main(argv=None) -> int:
 
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_name)
     state, history = train_model(
-        train_loader, val_loader, cfg, checkpointer=ckpt,
+        train_loader, val_loader, cfg, checkpointer=ckpt, resume=args.resume,
         log=lambda s: logger.log("epoch", msg=s),
     )
 
@@ -158,13 +158,63 @@ def main(argv=None) -> int:
     }))
 
     if args.report_dir:
-        os.makedirs(args.report_dir, exist_ok=True)
-        from ..report import plot_training_metrics
-
-        plot_training_metrics(
-            history, os.path.join(args.report_dir, "training_metrics.png")
-        )
+        write_report(args.report_dir, history, state, model, cfg, test_loader)
     return 0
+
+
+def write_report(report_dir, history, state, model, cfg, test_loader):
+    """Emit the full visualization artifact suite (reference C13 set)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..report import (
+        plot_confusion_matrices,
+        plot_correct_incorrect_distribution,
+        plot_model_architecture,
+        plot_per_fret_accuracy,
+        plot_prediction_overlay,
+        plot_sample_inputs,
+        plot_training_metrics,
+    )
+    from ..train import confusion_matrices, make_preprocess, per_fret_accuracy
+
+    os.makedirs(report_dir, exist_ok=True)
+    preprocess = make_preprocess(cfg.model, cfg.data.image_size)
+
+    @jax.jit
+    def predict(feats):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return jnp.argmax(
+            state.apply_fn(variables, preprocess(feats), train=False), -1
+        )
+
+    preds, targets, feats0 = [], [], None
+    for batch in test_loader:
+        mask = batch["weights"][:, 0] > 0
+        p = np.asarray(predict(jnp.asarray(batch["features"])))
+        preds.append(p[mask])
+        targets.append(batch["labels"][mask])
+        if feats0 is None:
+            feats0 = batch["features"][mask][:8]
+    preds = np.concatenate(preds)
+    targets = np.concatenate(targets)
+
+    path = lambda name: os.path.join(report_dir, name)  # noqa: E731
+    plot_training_metrics(history, path("training_metrics.png"))
+    plot_sample_inputs(feats0, path("sample_inputs.png"), labels=targets[:8])
+    plot_prediction_overlay(
+        feats0, preds[:8], targets[:8], path("prediction_overlay.png")
+    )
+    plot_correct_incorrect_distribution(
+        preds, targets, path("correct_incorrect.png")
+    )
+    cm = np.asarray(
+        confusion_matrices(jnp.asarray(preds), jnp.asarray(targets))
+    )
+    plot_confusion_matrices(cm, path("confusion_matrices.png"))
+    acc, support = per_fret_accuracy(cm)
+    plot_per_fret_accuracy(acc, support, path("fret_accuracy.png"))
+    plot_model_architecture(state.params, path("model_architecture.png"))
 
 
 if __name__ == "__main__":

@@ -33,5 +33,26 @@ def test_synthetic_training_learns(tmp_path, capsys):
     # 2 tracks x 20 windows: tiny, but trainable far above chance (~5%).
     assert result["test_accuracy"] > 0.3, result
     assert (tmp_path / "ckpt" / "best_guitar_tab_model").exists()
-    assert (tmp_path / "report" / "training_metrics.png").exists()
     assert (tmp_path / "ckpt" / "train_log.jsonl").exists()
+    for artifact in (
+        "training_metrics.png", "sample_inputs.png", "prediction_overlay.png",
+        "correct_incorrect.png", "confusion_matrices.png",
+        "fret_accuracy.png", "model_architecture.png",
+    ):
+        assert (tmp_path / "report" / artifact).exists(), artifact
+
+    # resume: restarting with --resume continues from the saved epoch
+    rc = train_main(
+        [
+            "--synthetic", "--synthetic-tracks", "2",
+            "--arch", "small_cnn",
+            "--epochs", "7",
+            "--batch-size", "16",
+            "--learning-rate", "0.003",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--resume",
+        ]
+    )
+    assert rc == 0
+    log_text = (tmp_path / "ckpt" / "train_log.jsonl").read_text()
+    assert "resumed from epoch" in log_text

@@ -43,7 +43,8 @@ def reflect_index(num_samples: int, pad: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "hop_length", "n_bins", "magnitude_power", "amin", "top_db",
-        "gate_threshold_db", "gate_floor_db", "precision",
+        "gate_threshold_db", "gate_floor_db", "precision", "use_pallas",
+        "interpret",
     ),
 )
 def _cqt_windows_impl(
@@ -59,21 +60,38 @@ def _cqt_windows_impl(
     gate_threshold_db: float,
     gate_floor_db: float,
     precision: Any,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     batch, num_samples = x.shape
     kernel_width = kernels.shape[0]
     t = n_frames_for(num_samples, hop_length)
 
     padded = jnp.take(x, pad_index, axis=-1)  # [B, W + 2*pad]
-    # Static overlapping slices; XLA folds these views into the GEMM reads.
-    frames = jnp.stack(
-        [padded[:, i * hop_length : i * hop_length + kernel_width] for i in range(t)],
-        axis=1,
-    )  # [B, T, K]
-    coeff = jnp.einsum(
-        "btk,kf->btf", frames, kernels, precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # [B, T, 2F]
+    if use_pallas:
+        from .cqt_pallas import cqt_frame_gemm
+
+        block = 16
+        pad_rows = (-batch) % block
+        if pad_rows:
+            padded = jnp.pad(padded, ((0, pad_rows), (0, 0)))
+        coeff = cqt_frame_gemm(
+            padded, kernels, hop_length=hop_length, n_frames=t,
+            batch_block=block, interpret=interpret,
+        )[:batch]
+    else:
+        # Static overlapping slices; XLA folds the views into GEMM reads.
+        frames = jnp.stack(
+            [
+                padded[:, i * hop_length : i * hop_length + kernel_width]
+                for i in range(t)
+            ],
+            axis=1,
+        )  # [B, T, K]
+        coeff = jnp.einsum(
+            "btk,kf->btf", frames, kernels, precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [B, T, 2F]
     re, im = coeff[..., :n_bins], coeff[..., n_bins:]
     mag2 = re * re + im * im
     s = mag2 ** (magnitude_power / 2.0)  # |CQT|**p  (p=4: cqt.py:56)
@@ -101,11 +119,19 @@ class CQTFrontend:
         cfg: CQTConfig | None = None,
         *,
         precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+        use_pallas: bool | None = None,
+        pallas_interpret: bool = False,
     ):
         self.cfg = cfg or CQTConfig()
         self.filterbank: CQTFilterbank = make_filterbank(self.cfg)
         self.kernels = jnp.asarray(self.filterbank.stacked())  # [K, 2F]
         self.precision = precision
+        if use_pallas is None:  # auto: Mosaic kernels need a real TPU
+            from .cqt_pallas import supports_pallas
+
+            use_pallas = supports_pallas()
+        self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret
         self._pad_index: dict[int, np.ndarray] = {}
 
     @property
@@ -146,5 +172,7 @@ class CQTFrontend:
             gate_threshold_db=cfg.gate_threshold_db,
             gate_floor_db=cfg.gate_floor_db,
             precision=self.precision,
+            use_pallas=self.use_pallas,
+            interpret=self.pallas_interpret,
         )
         return out[0] if squeeze else out

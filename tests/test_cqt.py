@@ -144,3 +144,16 @@ def test_process_all_audio(tmp_path, cfg):
     )
     assert written2[0].endswith("track_segment_0_0.00.npy")
     assert written2[1].endswith("track_segment_0_0.20.npy")
+
+
+def test_pallas_kernel_matches_xla_path(cfg):
+    """Pallas frame-GEMM (interpret mode on CPU) vs the XLA einsum path."""
+    xla_fe = CQTFrontend(cfg, use_pallas=False)
+    pallas_fe = CQTFrontend(cfg, use_pallas=True, pallas_interpret=True)
+    x = _tone_windows(cfg, [196.0, 880.0], 4)
+    want = np.asarray(xla_fe(x))
+    got = np.asarray(pallas_fe(x))
+    # identical recipe, fp32 accumulation order may differ at k-tile edges
+    boundary = np.abs(want - cfg.gate_threshold_db) < 0.5
+    np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.02)
+    assert (got[~boundary] == want[~boundary]).mean() > 0.8

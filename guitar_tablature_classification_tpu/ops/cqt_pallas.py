@@ -85,6 +85,7 @@ def cqt_frame_gemm(
             frames, ktile,
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # true-fp32 MXU passes
         )
 
     grid = (b // batch_block, k_tiles)

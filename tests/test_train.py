@@ -179,3 +179,41 @@ def test_train_step_with_augmentation(_small_setup_cached):
     )
     state, metrics = train_step(state, batch, jax.random.PRNGKey(2), 1e-3)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vit_train_step_tiny():
+    """The ViT recipe end to end: AdamW, backbone lr scale, BN trunk."""
+    from guitar_tablature_classification_tpu.models import ViTTab
+
+    model = ViTTab(layers=2, hidden=64, heads=2, patch=8, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    feats = rng.uniform(-120, 0, (8, 96, 9)).astype(np.float32)
+    batch = {
+        "features": jnp.asarray(feats),
+        "labels": jnp.asarray(rng.integers(0, 19, (8, 6))),
+    }
+    cfg = OptimConfig(
+        name="adamw", learning_rate=1e-3, backbone_lr_scale=0.1,
+        label_smoothing=0.1,
+    )
+    model_cfg = ModelConfig(arch="vit_s8")
+    preprocess = make_preprocess(model_cfg, image_size=32)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), preprocess(batch["features"][:1])
+    )
+    train_step = make_train_step(model, preprocess, smoothing=0.1)
+    backbone_before = np.asarray(
+        state.params["vit"]["patch_embed"]["kernel"]
+    ).copy()
+    head_before = np.asarray(state.params["heads"]["out"]["kernel"]).copy()
+    for _ in range(3):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(1), 1e-3)
+    assert np.isfinite(float(metrics["loss"]))
+    backbone_delta = np.abs(
+        np.asarray(state.params["vit"]["patch_embed"]["kernel"]) - backbone_before
+    ).mean()
+    head_delta = np.abs(
+        np.asarray(state.params["heads"]["out"]["kernel"]) - head_before
+    ).mean()
+    # backbone trains ~10x slower than heads (ViT_engine.py:244-251)
+    assert 0 < backbone_delta < head_delta

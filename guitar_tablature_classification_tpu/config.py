@@ -119,6 +119,7 @@ class ModelConfig:
     vit_patch: int = 8
     vit_mlp_ratio: float = 4.0
     dropout: float = 0.3
+    remat: bool = False  # jax.checkpoint per block (activation memory vs FLOPs)
 
 
 @dataclass(frozen=True)

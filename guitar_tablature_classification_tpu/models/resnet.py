@@ -67,6 +67,10 @@ class ResNet18(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # Rematerialize each block on backward (jax.checkpoint): trades ~30%
+    # extra FLOPs for O(depth) less activation HBM — the knob for scaling
+    # batch size past memory limits.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,15 +90,19 @@ class ResNet18(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = (
+            nn.remat(BasicBlock, static_argnums=(2,)) if self.remat
+            else BasicBlock
+        )
         for stage, blocks in enumerate(self.stage_sizes):
             filters = 64 * 2**stage
             for block in range(blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = BasicBlock(
+                x = block_cls(
                     filters, strides, dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"layer{stage + 1}_{block}",
-                )(x, train=train)
+                )(x, train)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> [B, 512]
         if self.num_features is not None:

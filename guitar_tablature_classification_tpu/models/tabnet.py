@@ -33,12 +33,14 @@ class GuitarTabNet(nn.Module):
     input_channels: int = 3
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = ResNet18(
             num_features=256, input_channels=self.input_channels,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="resnet",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            remat=self.remat, name="resnet",
         )(x, train=train)
         return StringBranchHeads(
             num_frets=self.num_frets, num_strings=self.num_strings,
@@ -62,13 +64,15 @@ class ViTTab(nn.Module):
     dropout: float = 0.3
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cls = ViTBackbone(
             hidden=self.hidden, layers=self.layers, heads=self.heads,
             patch=self.patch, input_channels=self.input_channels,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="vit",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            remat=self.remat, name="vit",
         )(x, train=train)
 
         bn = lambda name: nn.BatchNorm(  # noqa: E731
@@ -100,7 +104,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         return GuitarTabNet(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
             input_channels=cfg.input_channels, dtype=dtype,
-            param_dtype=param_dtype,
+            param_dtype=param_dtype, remat=cfg.remat,
         )
     if cfg.arch == "vit_s8":
         return ViTTab(
@@ -108,6 +112,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             input_channels=cfg.input_channels, hidden=cfg.vit_hidden,
             layers=cfg.vit_layers, heads=cfg.vit_heads, patch=cfg.vit_patch,
             dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
+            remat=cfg.remat,
         )
     if cfg.arch == "small_cnn":
         return SmallTabCNN(

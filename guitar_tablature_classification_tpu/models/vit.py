@@ -74,6 +74,7 @@ class ViTBackbone(nn.Module):
     ln_eps: float = 1e-12
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    remat: bool = False  # jax.checkpoint per encoder block
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -102,12 +103,16 @@ class ViTBackbone(nn.Module):
         x = x + pos
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
+        block_cls = (
+            nn.remat(EncoderBlock, static_argnums=(2,)) if self.remat
+            else EncoderBlock
+        )
         for i in range(self.layers):
-            x = EncoderBlock(
+            x = block_cls(
                 self.hidden, self.heads, int(self.hidden * self.mlp_ratio),
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 ln_eps=self.ln_eps, dropout=self.dropout, name=f"block{i}",
-            )(x, train=train)
+            )(x, train)
 
         x = nn.LayerNorm(
             epsilon=self.ln_eps, dtype=self.dtype,

@@ -16,12 +16,15 @@ from .normalize import (
     tile_channels,
     z_score_normalize,
 )
+from .extract import extract_windows, process_all_audio
 from .resize import resize_bicubic, resize_matrix
 from .smoothing import mode_filter, mode_filter_sequential
 
 __all__ = [
     "add_noise",
     "augment_batch",
+    "extract_windows",
+    "process_all_audio",
     "db_to_unit",
     "frequency_mask",
     "imagenet_normalize",

@@ -243,3 +243,28 @@ def test_vittab_matches_torch_reference_topology():
         )
     got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_remat_models_match_nonremat():
+    """jax.checkpoint must not change numerics, only memory."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    plain = GuitarTabNet(dtype=jnp.float32)
+    remat = GuitarTabNet(dtype=jnp.float32, remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(model, v):
+        def f(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(out**2)
+        return jax.value_and_grad(f)(v["params"])
+
+    l1, g1 = loss(plain, variables)
+    l2, g2 = loss(remat, variables)
+    assert abs(float(l1) - float(l2)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

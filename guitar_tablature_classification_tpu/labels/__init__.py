@@ -1,4 +1,8 @@
-from .extractor import ExtractionStats, GuitarTablatureExtractor
+from .extractor import (
+    ExtractionStats,
+    GuitarTablatureExtractor,
+    find_audio_for_jams,
+)
 from .jams_io import (
     Annotation,
     Jams,
@@ -21,6 +25,7 @@ __all__ = [
     "Annotation",
     "ExtractionStats",
     "GuitarTablatureExtractor",
+    "find_audio_for_jams",
     "Jams",
     "Observation",
     "empty_tablature",

@@ -28,6 +28,27 @@ from .tablature import (
 )
 
 
+GUITARSET_AUDIO_PATTERNS = (
+    "{base}.wav",
+    "{base}_mic.wav",
+    "{base}_mix.wav",
+    "{base}_hex.wav",
+    "{base}_hex_cln.wav",
+    "hex_debleeded_{base}.wav",
+    "audio_hex-pickup_debleeded/{base}_hex_cln.wav",
+)
+
+
+def find_audio_for_jams(audio_dir: str, jams_base: str) -> str | None:
+    """Locate the WAV paired with a JAMS file by probing GuitarSet naming
+    variants (the prefix/suffix probing of jam_to_tablature.py:358-367)."""
+    for pattern in GUITARSET_AUDIO_PATTERNS:
+        candidate = os.path.join(audio_dir, pattern.format(base=jams_base))
+        if os.path.exists(candidate):
+            return candidate
+    return None
+
+
 @dataclass
 class ExtractionStats:
     processed_files: int = 0

@@ -1,4 +1,5 @@
 from .plots import (
+    render_spectrogram_png,
     plot_confusion_matrices,
     plot_correct_incorrect_distribution,
     plot_model_architecture,
@@ -9,6 +10,7 @@ from .plots import (
 )
 
 __all__ = [
+    "render_spectrogram_png",
     "plot_confusion_matrices",
     "plot_correct_incorrect_distribution",
     "plot_model_architecture",

@@ -174,6 +174,22 @@ def plot_per_fret_accuracy(
     return path
 
 
+def render_spectrogram_png(feature: np.ndarray, path: str) -> str:
+    """Axis-less spectrogram PNG — the new_cqt.py:36-42 specshow artifact.
+
+    In this framework models consume raw arrays; the PNG rendering
+    capability survives only here, for inspection and for users who kept
+    PNG-based tooling."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(3, 3))
+    ax.imshow(np.asarray(feature), aspect="auto", origin="lower", cmap="magma")
+    ax.axis("off")
+    fig.subplots_adjust(left=0, right=1, top=1, bottom=0)
+    fig.savefig(path, dpi=75)
+    plt.close(fig)
+    return path
+
+
 def plot_model_architecture(params: Any, path: str) -> str:
     """Horizontal parameter-count bars per top-level module
     (bestengine.py:689-726)."""

@@ -158,3 +158,13 @@ def test_shipped_fixture_statistics_match_convention():
         if (rows >= 2).any():
             multi += 1
     assert 0 < multi < len(files)  # multi-mark rows exist but aren't universal
+
+
+def test_find_audio_for_jams(tmp_path):
+    from guitar_tablature_classification_tpu.labels import find_audio_for_jams
+
+    (tmp_path / "00_track_comp_mic.wav").write_bytes(b"")
+    assert find_audio_for_jams(str(tmp_path), "00_track_comp").endswith(
+        "_mic.wav"
+    )
+    assert find_audio_for_jams(str(tmp_path), "missing") is None

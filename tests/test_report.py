@@ -52,3 +52,15 @@ def test_all_plot_artifacts(tmp_path):
 
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_render_spectrogram_png(tmp_path):
+    from guitar_tablature_classification_tpu.report import (
+        render_spectrogram_png,
+    )
+
+    feat = np.random.default_rng(0).uniform(-120, 0, (96, 9))
+    p = render_spectrogram_png(feat, str(tmp_path / "seg.png"))
+    import os
+
+    assert os.path.getsize(p) > 0

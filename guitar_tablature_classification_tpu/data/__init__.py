@@ -5,7 +5,7 @@ from .guitarset import (
     create_dataloaders,
     torch_random_split_indices,
 )
-from .packing import load_packed, pack_npy_dir
+from .packing import load_packed, pack_image_dir, pack_npy_dir
 from .pipeline import as_device_batches, device_prefetch, host_shard
 from .synthetic import (
     events_to_jams_dict,
@@ -29,6 +29,7 @@ __all__ = [
     "load_wav",
     "make_synthetic_dataset",
     "midi_to_hz",
+    "pack_image_dir",
     "pack_npy_dir",
     "random_performance",
     "render_note",

@@ -19,7 +19,7 @@ from typing import Iterator
 import numpy as np
 
 from ..config import DataConfig
-from .packing import load_packed, pack_npy_dir
+from .packing import load_packed, pack_image_dir, pack_npy_dir
 
 
 def torch_random_split_indices(
@@ -47,9 +47,14 @@ def torch_random_split_indices(
 
 
 def _maybe_pack(src_dir: str, cache_prefix: str):
-    if os.path.exists(f"{cache_prefix}.npy"):
-        return load_packed(cache_prefix)
-    pack_npy_dir(src_dir, cache_prefix)
+    """Pack a directory of .npy features OR spectrogram images (the
+    reference CNN path's cqt_images/*.png) into one mmap shard."""
+    if not os.path.exists(f"{cache_prefix}.npy"):
+        entries = os.listdir(src_dir)
+        if any(f.endswith(".npy") for f in entries):
+            pack_npy_dir(src_dir, cache_prefix)
+        else:
+            pack_image_dir(src_dir, cache_prefix)
     return load_packed(cache_prefix)
 
 

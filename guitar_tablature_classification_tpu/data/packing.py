@@ -51,6 +51,50 @@ def pack_npy_dir(
     return data_path, index_path
 
 
+def pack_image_dir(
+    src_dir: str,
+    out_prefix: str,
+    *,
+    size: int | None = None,
+    extensions: tuple[str, ...] = (".png", ".jpg", ".jpeg"),
+) -> tuple[str, str]:
+    """Pack a directory of spectrogram images (the reference CNN path's
+    ``cqt_images/*.png``, my_dataloader.py:17-30) into one uint8 RGB shard.
+
+    ``size`` resizes on ingest (PIL bicubic); omit it to keep the native
+    resolution and resize on device instead.
+    """
+    from PIL import Image
+
+    names = sorted(
+        f for f in os.listdir(src_dir)
+        if os.path.splitext(f)[1].lower() in extensions
+    )
+    if not names:
+        raise ValueError(f"no image files in {src_dir}")
+    first = Image.open(os.path.join(src_dir, names[0])).convert("RGB")
+    shape = (size, size) if size else first.size[::-1]
+    data_path = f"{out_prefix}.npy"
+    index_path = f"{out_prefix}.index.json"
+    packed = np.lib.format.open_memmap(
+        data_path, mode="w+", dtype=np.uint8,
+        shape=(len(names), shape[0], shape[1], 3),
+    )
+    for i, name in enumerate(names):
+        img = Image.open(os.path.join(src_dir, name)).convert("RGB")
+        if size:
+            img = img.resize((size, size), Image.BICUBIC)
+        elif img.size[::-1] != shape:
+            raise ValueError(f"{name}: size {img.size} != first {shape[::-1]}")
+        packed[i] = np.asarray(img)
+    packed.flush()
+    with open(index_path, "w") as f:
+        json.dump(
+            {"names": names, "shape": list(shape) + [3], "dtype": "uint8"}, f
+        )
+    return data_path, index_path
+
+
 def load_packed(out_prefix: str, *, mmap: bool = True):
     """-> (array [N, ...] (mmap by default), list of names)."""
     data = np.load(f"{out_prefix}.npy", mmap_mode="r" if mmap else None)

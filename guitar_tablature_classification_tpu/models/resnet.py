@@ -13,7 +13,7 @@ The reference replaces ``conv1`` with a fresh conv over
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

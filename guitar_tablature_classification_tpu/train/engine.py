@@ -85,17 +85,37 @@ def make_optimizer(cfg: OptimConfig, params=None) -> optax.GradientTransformatio
 
 
 def make_preprocess(
-    model_cfg: ModelConfig, image_size: int = 224
+    model_cfg: ModelConfig,
+    image_size: int = 224,
+    input_kind: str = "db_features",
 ) -> Callable[[jax.Array], jax.Array]:
-    """[B, n_bins, n_frames] dB features -> model input images.
+    """Raw batch features -> model input images, on device.
 
-    Device-side replacement for the CPU per-item transforms of
-    my_dataloader.py:17-30 / ViT_dataloader.py:31-51: dB -> [0,1],
-    bicubic resize, channel tile, (CNN path) ImageNet normalize.
+    ``db_features``: [B, n_bins, n_frames] dB spectrograms -> [0,1],
+    bicubic resize, channel tile, (CNN path) ImageNet normalize —
+    replacing the CPU per-item transforms of my_dataloader.py:17-30 /
+    ViT_dataloader.py:31-51.
+
+    ``rgb_image``: [B, H, W, 3] uint8 spectrogram renders (the reference
+    CNN's cqt_images/*.png path) -> [0,1], resize, ImageNet normalize.
     """
     arch = model_cfg.arch
 
     def preprocess(feats: jax.Array) -> jax.Array:
+        if input_kind == "rgb_image":
+            x = feats.astype(jnp.float32) / 255.0
+            # small_cnn consumes native resolution (its flatten layer
+            # scales with pixel count); the 224^2 backbones resize.
+            needs_resize = arch != "small_cnn" and (
+                x.shape[1] != image_size or x.shape[2] != image_size
+            )
+            if needs_resize:
+                x = resize_bicubic(
+                    x, (image_size, image_size), channels_last=True
+                )
+            if arch == "resnet18":
+                x = imagenet_normalize(x)
+            return x
         x = db_to_unit(feats)
         if arch == "small_cnn":
             return x[..., None]  # raw [B, 96, T, 1], no resize needed
@@ -274,11 +294,19 @@ def train_model(
     ocfg = config.optim
     if model is None:
         model = build_model(config.model)
-    preprocess = make_preprocess(config.model, config.data.image_size)
+
+    init_batch = next(iter(train_loader))
+    input_kind = (
+        "rgb_image"
+        if "features" in init_batch and init_batch["features"].ndim == 4
+        else "db_features"
+    )
+    preprocess = make_preprocess(
+        config.model, config.data.image_size, input_kind
+    )
 
     rng = jax.random.PRNGKey(ocfg.seed)
     if state is None:
-        init_batch = next(iter(train_loader))
         feats = (
             frontend(init_batch["audio"])
             if "audio" in init_batch

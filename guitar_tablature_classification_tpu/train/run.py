@@ -142,8 +142,10 @@ def main(argv=None) -> int:
     )
 
     model = build_model(cfg.model)
+    peek = next(iter(test_loader))
+    input_kind = "rgb_image" if peek["features"].ndim == 4 else "db_features"
     eval_step = make_eval_step(
-        model, make_preprocess(cfg.model, cfg.data.image_size),
+        model, make_preprocess(cfg.model, cfg.data.image_size, input_kind),
         smoothing=cfg.optim.label_smoothing,
     )
     test = test_model(state, eval_step, test_loader)
@@ -158,11 +160,17 @@ def main(argv=None) -> int:
     }))
 
     if args.report_dir:
-        write_report(args.report_dir, history, state, model, cfg, test_loader)
+        write_report(
+            args.report_dir, history, state, model, cfg, test_loader,
+            input_kind=input_kind,
+        )
     return 0
 
 
-def write_report(report_dir, history, state, model, cfg, test_loader):
+def write_report(
+    report_dir, history, state, model, cfg, test_loader,
+    input_kind="db_features",
+):
     """Emit the full visualization artifact suite (reference C13 set)."""
     import jax
     import jax.numpy as jnp
@@ -179,7 +187,7 @@ def write_report(report_dir, history, state, model, cfg, test_loader):
     from ..train import confusion_matrices, make_preprocess, per_fret_accuracy
 
     os.makedirs(report_dir, exist_ok=True)
-    preprocess = make_preprocess(cfg.model, cfg.data.image_size)
+    preprocess = make_preprocess(cfg.model, cfg.data.image_size, input_kind)
 
     @jax.jit
     def predict(feats):

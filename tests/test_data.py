@@ -130,3 +130,41 @@ def test_synthetic_note_pitch():
     spec = np.abs(np.fft.rfft(note * np.hanning(len(note))))
     peak_hz = np.argmax(spec) * sr / len(note)
     assert abs(peak_hz - 440.0) < 3.0
+
+
+def test_png_image_dataset_path(tmp_path):
+    """The reference CNN trains from PNG spectrogram renders
+    (my_dataloader.py); image dirs pack + train end to end."""
+    from PIL import Image
+
+    from guitar_tablature_classification_tpu.config import (
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from guitar_tablature_classification_tpu.train import train_model
+
+    feats_dir = tmp_path / "cqt_images"
+    labels_dir = tmp_path / "tabs"
+    feats_dir.mkdir()
+    labels_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        img = (rng.uniform(0, 255, (40, 30, 3))).astype(np.uint8)
+        Image.fromarray(img).save(feats_dir / f"seg_{i:03d}.png")
+        tab = np.zeros((6, 19), np.int8)
+        tab[np.arange(6), rng.integers(0, 19, 6)] = 1
+        np.save(labels_dir / f"seg_{i:03d}.npy", tab)
+
+    train, val, test = create_dataloaders(
+        str(feats_dir), str(labels_dir), batch_size=4,
+        cache_dir=str(tmp_path / "cache"),
+    )
+    batch = next(iter(train))
+    assert batch["features"].shape[-1] == 3  # RGB
+    cfg = TrainConfig(
+        model=ModelConfig(arch="small_cnn", dtype="float32"),
+        optim=OptimConfig(epochs=1, early_stop_patience=1),
+    )
+    state, history = train_model(train, val, cfg, log=lambda s: None)
+    assert np.isfinite(history["train_loss"][0])

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train on synthesized audio/labels (no dataset needed)")
     p.add_argument("--synthetic-tracks", type=int, default=8)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on any NaN produced on device (jax_debug_nans)")
     return p
 
 
@@ -115,6 +119,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = make_config(args)
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     from ..data.guitarset import create_dataloaders
     from ..train import Checkpointer, test_model, train_model
     from ..train.engine import make_eval_step, make_preprocess
@@ -136,10 +145,13 @@ def main(argv=None) -> int:
         )
 
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_name)
-    state, history = train_model(
-        train_loader, val_loader, cfg, checkpointer=ckpt, resume=args.resume,
-        log=lambda s: logger.log("epoch", msg=s),
-    )
+    from ..utils.profiling import trace
+
+    with trace(args.profile_dir):
+        state, history = train_model(
+            train_loader, val_loader, cfg, checkpointer=ckpt,
+            resume=args.resume, log=lambda s: logger.log("epoch", msg=s),
+        )
 
     model = build_model(cfg.model)
     peek = next(iter(test_loader))

@@ -157,3 +157,16 @@ def test_pallas_kernel_matches_xla_path(cfg):
     boundary = np.abs(want - cfg.gate_threshold_db) < 0.5
     np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.02)
     assert (got[~boundary] == want[~boundary]).mean() > 0.8
+
+
+def test_cqt_golden_fixture_regression(frontend):
+    """Pinned golden arrays: the transform must stay numerically stable
+    across framework versions (fixture generated by cqt_reference)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "cqt_golden.npz")
+    data = np.load(path)
+    got = np.asarray(frontend(data["input"]))
+    want = data["output"]
+    boundary = np.abs(want + 60.0) < 0.5
+    np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.15)

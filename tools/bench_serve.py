@@ -11,8 +11,11 @@ Prints one JSON line (not the headline bench; see bench.py).
 
 import json
 import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -14,12 +14,16 @@ stages, both measured on this container:
 Combined throughput = 1 / (1/cqt + 1/train)  [segments/sec].
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 import scipy.fft
 import torch
 import torch.nn as tnn
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure_cqt_proxy(n_iter: int = 50) -> float:

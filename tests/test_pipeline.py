@@ -1,0 +1,84 @@
+"""Input pipeline utilities: prefetch, host sharding, torch-ckpt serving."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from guitar_tablature_classification_tpu.data import (
+    device_prefetch,
+    host_shard,
+)
+
+
+def test_device_prefetch_order_and_content():
+    batches = [{"x": np.full((2, 3), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_device_prefetch_short_stream():
+    batches = [{"x": np.zeros((1,))}]
+    assert len(list(device_prefetch(iter(batches), size=4))) == 1
+
+
+def test_host_shard():
+    batch = {"x": np.arange(8).reshape(8, 1)}
+    shard0 = host_shard(batch, process_index=0, process_count=2)
+    shard1 = host_shard(batch, process_index=1, process_count=2)
+    np.testing.assert_array_equal(shard0["x"][:, 0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(shard1["x"][:, 0], [4, 5, 6, 7])
+    with pytest.raises(ValueError):
+        host_shard({"x": np.zeros((7, 1))}, process_index=0, process_count=2)
+
+
+def test_serving_from_reference_torch_checkpoint(tmp_path):
+    """Full reference-user migration path: a torch best-checkpoint dict
+    (bestengine.py:985-995 layout, DataParallel prefix included) loads and
+    serves through the TPU transcriber with numerics matching torch."""
+    torch = pytest.importorskip("torch")
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_models import _torch_guitartabnet
+
+    torch.manual_seed(0)
+    tm = _torch_guitartabnet()
+    tm.eval()
+    sd = {f"module.{k}": v for k, v in tm.state_dict().items()}
+    ckpt_path = tmp_path / "best_guitar_tab_model.pt"
+    torch.save({"epoch": 3, "model_state_dict": sd, "val_loss": 0.5}, ckpt_path)
+
+    from guitar_tablature_classification_tpu.config import ModelConfig
+    from guitar_tablature_classification_tpu.infer import (
+        transcriber_from_torch_checkpoint,
+    )
+
+    transcriber = transcriber_from_torch_checkpoint(
+        str(ckpt_path), arch="resnet18", batch_size=4
+    )
+    # monkey-level numerics check: same logits as torch on one image batch
+    rng = np.random.default_rng(0)
+    feats = rng.uniform(-120, 0, (2, 96, 9)).astype(np.float32)
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    preprocess = make_preprocess(ModelConfig(arch="resnet18"))
+    images = np.asarray(preprocess(jnp.asarray(feats)), dtype=np.float32)
+    with torch.no_grad():
+        want = np.stack(
+            [o.numpy() for o in tm(torch.from_numpy(images.transpose(0, 3, 1, 2)))],
+            axis=1,
+        )
+    got = np.asarray(
+        transcriber.model.apply(
+            transcriber.variables, jnp.asarray(images), train=False
+        )
+    )
+    # bf16 backbone vs fp32 torch: argmax agreement is the serving contract
+    np.testing.assert_array_equal(
+        got.argmax(-1), want.argmax(-1)
+    )

@@ -46,6 +46,7 @@ class Transcriber:
         cqt_cfg: CQTConfig | None = None,
         batch_size: int = 128,
         image_size: int = 224,
+        mesh=None,
     ):
         self.model_cfg = model_cfg or ModelConfig()
         self.cqt_cfg = cqt_cfg or CQTConfig()
@@ -53,6 +54,14 @@ class Transcriber:
         self.frontend = CQTFrontend(self.cqt_cfg)
         self.preprocess = make_preprocess(self.model_cfg, image_size)
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: replicate params, shard the window batch
+            # over the mesh's data axis (batch_size must divide evenly).
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._batch_sharding = batch_sharding(mesh)
+            variables = jax.device_put(variables, replicated(mesh))
         self.variables = variables
 
         model = self.model
@@ -80,7 +89,10 @@ class Transcriber:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)]
                 )
-            logits = self._predict(self.variables, jnp.asarray(chunk))
+            chunk_dev = jnp.asarray(chunk)
+            if self.mesh is not None:
+                chunk_dev = jax.device_put(chunk_dev, self._batch_sharding)
+            logits = self._predict(self.variables, chunk_dev)
             outs.append(np.asarray(logits))
         return np.concatenate(outs)[:n]
 

@@ -100,3 +100,35 @@ def test_batch_sharding_spec():
     mesh = make_mesh(MeshConfig())
     sh = batch_sharding(mesh)
     assert sh.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_mesh_sharded_serving():
+    """Transcriber with a mesh: windows shard over the data axis and
+    results match single-device serving."""
+    from guitar_tablature_classification_tpu.config import CQTConfig
+    from guitar_tablature_classification_tpu.infer import Transcriber
+    from guitar_tablature_classification_tpu.data import render_performance
+    from guitar_tablature_classification_tpu.train import make_preprocess
+    from guitar_tablature_classification_tpu.models import build_model
+
+    model_cfg = ModelConfig(arch="small_cnn", dtype="float32")
+    cqt_cfg = CQTConfig()
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        preprocess(jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))),
+        train=False,
+    )
+    audio = render_performance([(0, 3, 0.1, 0.8)], 1.5, cqt_cfg)
+
+    single = Transcriber(
+        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=8
+    ).transcribe(audio, keep_logits=True)
+    mesh = make_mesh(MeshConfig())
+    sharded = Transcriber(
+        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=8,
+        mesh=mesh,
+    ).transcribe(audio, keep_logits=True)
+    np.testing.assert_allclose(sharded.logits, single.logits, atol=1e-5)
+    np.testing.assert_array_equal(sharded.frets, single.frets)

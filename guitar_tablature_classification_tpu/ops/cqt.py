@@ -69,15 +69,18 @@ def _cqt_windows_impl(
 
     padded = jnp.take(x, pad_index, axis=-1)  # [B, W + 2*pad]
     if use_pallas:
-        from .cqt_pallas import cqt_frame_gemm
+        from .cqt_pallas import cqt_fused
 
         block = 16
         pad_rows = (-batch) % block
         if pad_rows:
             padded = jnp.pad(padded, ((0, pad_rows), (0, 0)))
-        coeff = cqt_frame_gemm(
+        return cqt_fused(
             padded, kernels, hop_length=hop_length, n_frames=t,
-            batch_block=block, interpret=interpret,
+            n_bins=n_bins, magnitude_power=magnitude_power, amin=amin,
+            top_db=top_db, gate_threshold_db=gate_threshold_db,
+            gate_floor_db=gate_floor_db, batch_block=block,
+            interpret=interpret,
         )[:batch]
     else:
         # Static overlapping slices; XLA folds the views into GEMM reads.

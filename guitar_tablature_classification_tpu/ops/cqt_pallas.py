@@ -11,9 +11,12 @@ HBM sees each input byte once plus one pass over the filterbank:
         once), filterbank tile [KT, 2F] (streamed), accumulator
         [BB, T, 2F] (revisited across k_tiles).
 
-The |.|^4 -> dB -> gate epilogue stays in XLA (tiny elementwise tail +
-per-sample max) and fuses with downstream consumers.  Numerics match the
-XLA path exactly up to fp32 accumulation order (tested).
+:func:`cqt_frame_gemm` returns raw coefficients (epilogue in XLA);
+:func:`cqt_fused` additionally runs the full reference epilogue —
+|.|^4 -> dB(ref=max) -> top_db clamp -> -60 dB gate (cqt.py:55-58) —
+inside the kernel on the VMEM-resident accumulator, so one pallas_call
+maps raw padded audio to finished dB features.  Numerics match the XLA
+path exactly (tested on hardware).
 """
 
 from __future__ import annotations
@@ -114,6 +117,113 @@ def cqt_frame_gemm(
                 padded.size * 4 + kernels.size * 4 + b * t * two_f * 4
             ),
             transcendentals=0,
+        ),
+        interpret=interpret,
+    )(padded, kernels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "hop_length", "n_frames", "n_bins", "magnitude_power", "amin",
+        "top_db", "gate_threshold_db", "gate_floor_db", "batch_block",
+        "k_tile", "interpret",
+    ),
+)
+def cqt_fused(
+    padded: jax.Array,
+    kernels: jax.Array,
+    *,
+    hop_length: int,
+    n_frames: int,
+    n_bins: int,
+    magnitude_power: float,
+    amin: float,
+    top_db: float,
+    gate_threshold_db: float,
+    gate_floor_db: float,
+    batch_block: int = 16,
+    k_tile: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """padded [B, P] fp32, kernels [Kw, 2F] -> gated dB features
+    [B, n_bins, n_frames] — frames, GEMM and the full cqt.py:55-58
+    epilogue in one kernel."""
+    b, p = padded.shape
+    kw, two_f = kernels.shape
+    if b % batch_block:
+        raise ValueError(f"batch {b} not divisible by block {batch_block}")
+    kw_pad = _round_up(kw, k_tile)
+    if kw_pad != kw:
+        kernels = jnp.pad(kernels, ((0, kw_pad - kw), (0, 0)))
+    need = (n_frames - 1) * hop_length + kw_pad
+    if p < need:
+        padded = jnp.pad(padded, ((0, 0), (0, need - p)))
+    k_tiles = kw_pad // k_tile
+    t = n_frames
+
+    def kernel(x_ref, k_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        frames = jnp.stack(
+            [
+                x_ref[:, pl.ds(j * k_tile + i * hop_length, k_tile)]
+                for i in range(t)
+            ],
+            axis=1,
+        )  # [BB, T, KT]
+        acc_ref[:] += jax.lax.dot_general(
+            frames, k_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        @pl.when(j == k_tiles - 1)
+        def _epilogue():
+            coeff = acc_ref[:]  # [BB, T, 2F]
+            re = coeff[:, :, :n_bins]
+            im = coeff[:, :, n_bins:]
+            mag2 = re * re + im * im
+            s = mag2 ** (magnitude_power / 2.0)  # |CQT|**p
+            ref = jnp.max(s, axis=(1, 2), keepdims=True)  # per-sample max
+            db = 20.0 * jnp.log10(jnp.maximum(amin, s)) - 20.0 * jnp.log10(
+                jnp.maximum(amin, ref)
+            )
+            db = jnp.maximum(db, -top_db)
+            db = jnp.where(db < gate_threshold_db, gate_floor_db, db)
+            out_ref[:] = jnp.transpose(db, (0, 2, 1))  # [BB, F, T]
+
+    grid = (b // batch_block, k_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (batch_block, padded.shape[1]), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_tile, two_f), lambda i, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (batch_block, n_bins, t), lambda i, j: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_bins, t), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((batch_block, t, two_f), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * kw_pad * two_f,
+            bytes_accessed=(
+                padded.size * 4 + kernels.size * 4 + b * n_bins * t * 4
+            ),
+            transcendentals=b * t * two_f,
         ),
         interpret=interpret,
     )(padded, kernels)

@@ -163,3 +163,35 @@ class GuitarTablatureExtractor:
             "mean_marks_per_frame": float(np.mean(notes_per_frame)) if files else 0.0,
             "multi_mark_row_ratio": rows_with_multi / n,
         }
+
+
+def main(argv=None) -> int:
+    """CLI: python -m guitar_tablature_classification_tpu.labels.extractor"""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="tab-extract-labels")
+    p.add_argument("jams_dir", help="directory of GuitarSet .jams files")
+    p.add_argument("output_dir", help="output directory for (6,19) .npy")
+    p.add_argument("--convention", default="per_string_window",
+                   choices=["per_string_window", "lowest_fret_center"])
+    p.add_argument("--window", type=float, default=0.2)
+    p.add_argument("--validate", action="store_true")
+    args = p.parse_args(argv)
+    ex = GuitarTablatureExtractor(
+        args.jams_dir, args.output_dir, convention=args.convention,
+        window=args.window,
+    )
+    stats = ex.process_all_files()
+    print(
+        f"files={stats.processed_files} segments={stats.total_segments} "
+        f"with_notes={stats.segments_with_notes} errors={len(stats.errors)}"
+    )
+    for err in stats.errors[:10]:
+        print(f"  error: {err}")
+    if args.validate:
+        print(ex.validate_tablature_data())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

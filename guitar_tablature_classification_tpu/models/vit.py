@@ -28,6 +28,7 @@ class EncoderBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     ln_eps: float = 1e-12
     dropout: float = 0.0
+    attention_impl: str = "xla"  # xla | pallas
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,9 +46,16 @@ class EncoderBlock(nn.Module):
         qkv = dense(3 * self.hidden, "qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         shape = (b, n, self.heads, head_dim)
-        attn = jax.nn.dot_product_attention(
-            q.reshape(shape), k.reshape(shape), v.reshape(shape)
-        ).reshape(b, n, self.hidden)
+        if self.attention_impl == "pallas":
+            from ..ops.attention_pallas import fused_attention
+
+            attn = fused_attention(
+                q.reshape(shape), k.reshape(shape), v.reshape(shape)
+            ).reshape(b, n, self.hidden)
+        else:
+            attn = jax.nn.dot_product_attention(
+                q.reshape(shape), k.reshape(shape), v.reshape(shape)
+            ).reshape(b, n, self.hidden)
         attn = dense(self.hidden, "proj")(attn)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         x = x + attn
@@ -75,6 +83,7 @@ class ViTBackbone(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     remat: bool = False  # jax.checkpoint per encoder block
+    attention_impl: str = "xla"  # xla | pallas (fused VMEM-resident KV)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,7 +120,8 @@ class ViTBackbone(nn.Module):
             x = block_cls(
                 self.hidden, self.heads, int(self.hidden * self.mlp_ratio),
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                ln_eps=self.ln_eps, dropout=self.dropout, name=f"block{i}",
+                ln_eps=self.ln_eps, dropout=self.dropout,
+                attention_impl=self.attention_impl, name=f"block{i}",
             )(x, train)
 
         x = nn.LayerNorm(

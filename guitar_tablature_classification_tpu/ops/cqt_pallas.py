@@ -148,11 +148,28 @@ def cqt_fused(
 ) -> jax.Array:
     """padded [B, P] fp32, kernels [Kw, 2F] -> gated dB features
     [B, n_bins, n_frames] — frames, GEMM and the full cqt.py:55-58
-    epilogue in one kernel."""
+    epilogue in one kernel.
+
+    Mosaic layout notes: the real/imag halves are re-packed to 128-lane
+    alignment (f_pad = round_up(n_bins, 128)) so the epilogue's slices
+    stay lane-aligned, and the kernel writes frames-major [BB, T, F] —
+    the tiny [B, T, F] -> [B, F, T] transpose happens in XLA afterwards.
+    """
     b, p = padded.shape
     kw, two_f = kernels.shape
+    if two_f != 2 * n_bins:
+        raise ValueError(f"kernels last dim {two_f} != 2 * n_bins {n_bins}")
     if b % batch_block:
         raise ValueError(f"batch {b} not divisible by block {batch_block}")
+    f_pad = _round_up(n_bins, 128)
+    # re-pack [Kw, re|im] -> lane-aligned [Kw, re_pad | im_pad]
+    kernels = jnp.concatenate(
+        [
+            jnp.pad(kernels[:, :n_bins], ((0, 0), (0, f_pad - n_bins))),
+            jnp.pad(kernels[:, n_bins:], ((0, 0), (0, f_pad - n_bins))),
+        ],
+        axis=1,
+    )
     kw_pad = _round_up(kw, k_tile)
     if kw_pad != kw:
         kernels = jnp.pad(kernels, ((0, kw_pad - kw), (0, 0)))
@@ -185,9 +202,8 @@ def cqt_fused(
 
         @pl.when(j == k_tiles - 1)
         def _epilogue():
-            coeff = acc_ref[:]  # [BB, T, 2F]
-            re = coeff[:, :, :n_bins]
-            im = coeff[:, :, n_bins:]
+            re = acc_ref[:, :, :f_pad]
+            im = acc_ref[:, :, f_pad:]
             mag2 = re * re + im * im
             s = mag2 ** (magnitude_power / 2.0)  # |CQT|**p
             ref = jnp.max(s, axis=(1, 2), keepdims=True)  # per-sample max
@@ -196,10 +212,10 @@ def cqt_fused(
             )
             db = jnp.maximum(db, -top_db)
             db = jnp.where(db < gate_threshold_db, gate_floor_db, db)
-            out_ref[:] = jnp.transpose(db, (0, 2, 1))  # [BB, F, T]
+            out_ref[:] = db  # [BB, T, F_pad], frames-major
 
     grid = (b // batch_block, k_tiles)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -208,25 +224,26 @@ def cqt_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (k_tile, two_f), lambda i, j: (j, 0),
+                (k_tile, 2 * f_pad), lambda i, j: (j, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (batch_block, n_bins, t), lambda i, j: (i, 0, 0),
+            (batch_block, t, f_pad), lambda i, j: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_bins, t), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((batch_block, t, two_f), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, t, f_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((batch_block, t, 2 * f_pad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * kw_pad * two_f,
+            flops=2 * b * t * kw_pad * 2 * f_pad,
             bytes_accessed=(
-                padded.size * 4 + kernels.size * 4 + b * n_bins * t * 4
+                padded.size * 4 + kernels.size * 4 + b * t * f_pad * 4
             ),
-            transcendentals=b * t * two_f,
+            transcendentals=b * t * f_pad,
         ),
         interpret=interpret,
     )(padded, kernels)
+    return jnp.transpose(out[:, :, :n_bins], (0, 2, 1))  # [B, F, T]
 
 
 def supports_pallas() -> bool:

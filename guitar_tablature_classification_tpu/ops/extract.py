@@ -88,3 +88,28 @@ def extract_windows(
             )
         outs.append(np.asarray(frontend(jnp.asarray(chunk))))
     return np.concatenate(outs)[:n]
+
+
+def main(argv=None) -> int:
+    """CLI: python -m guitar_tablature_classification_tpu.ops.extract ..."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="tab-extract-cqt")
+    p.add_argument("dataset_path", help="directory of .wav files")
+    p.add_argument("save_path", help="output directory for .npy features")
+    p.add_argument("--window-size", type=float, default=0.2)
+    p.add_argument("--hop-size", type=float, default=0.1)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--fixture-naming", action="store_true",
+                   help="name outputs like the reference label fixtures")
+    args = p.parse_args(argv)
+    written = process_all_audio(
+        args.dataset_path, args.window_size, args.hop_size, args.save_path,
+        batch_size=args.batch_size, fixture_naming=args.fixture_naming,
+    )
+    print(f"wrote {len(written)} feature files to {args.save_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

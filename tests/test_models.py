@@ -268,3 +268,18 @@ def test_remat_models_match_nonremat():
     assert abs(float(l1) - float(l2)) < 1e-6
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pallas_attention_matches_xla():
+    from guitar_tablature_classification_tpu.ops.attention_pallas import (
+        fused_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    b, n, h, dh = 2, 50, 4, 64  # n deliberately not tile-aligned
+    q = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    want = jax.nn.dot_product_attention(q, k, v)
+    got = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

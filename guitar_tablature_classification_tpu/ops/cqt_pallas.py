@@ -206,7 +206,10 @@ def cqt_fused(
             im = acc_ref[:, :, f_pad:]
             mag2 = re * re + im * im
             s = mag2 ** (magnitude_power / 2.0)  # |CQT|**p
-            ref = jnp.max(s, axis=(1, 2), keepdims=True)  # per-sample max
+            # per-sample max; chained single-axis reduces — Mosaic's layout
+            # inference rejects multi-axis keepdims reductions on 3D vectors
+            ref = jnp.max(jnp.max(s, axis=2, keepdims=True), axis=1,
+                          keepdims=True)
             db = 20.0 * jnp.log10(jnp.maximum(amin, s)) - 20.0 * jnp.log10(
                 jnp.maximum(amin, ref)
             )

@@ -283,6 +283,7 @@ def train_model(
     checkpointer=None,
     resume: bool = False,
     log: Callable[[str], None] = print,
+    on_epoch_end: Callable[[int, dict], None] | None = None,
 ) -> tuple[TrainState, dict]:
     """Reference-compatible training driver (bestengine.py:870-1016):
     epoch loop, validation, LR schedule on val loss, best-val checkpoint,
@@ -372,6 +373,10 @@ def train_model(
             f"val {val['loss']:.4f} acc {val['accuracy']:.4f} "
             f"lr {lr:.2e} ({dt:.1f}s)"
         )
+
+        if on_epoch_end is not None:
+            # e.g. periodic metric plots (bestengine.py:1006-1007)
+            on_epoch_end(epoch, history)
 
         if val["loss"] < best_val:
             best_val = val["loss"]

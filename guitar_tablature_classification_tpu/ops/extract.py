@@ -31,13 +31,16 @@ def process_all_audio(
     cfg: CQTConfig | None = None,
     batch_size: int = 512,
     fixture_naming: bool = False,
+    max_segments: int | None = None,
 ) -> list[str]:
     """Extract CQT features for every ``.wav`` under ``dataset_path``.
 
     Naming follows cqt.py:62 (``{base}_segment_{k}.npy``); with
     ``fixture_naming`` it matches the shipped tablatures' scheme
     (``{base}_segment_0_{start:.2f}.npy``, new_cqt.py:40) so features
-    pair 1:1 with the reference label fixtures.
+    pair 1:1 with the reference label fixtures.  ``max_segments`` caps
+    total output, budgeted evenly per file (the ``max_images`` semantics
+    of new_cqt.py:46-61).
     """
     from ..data.audio import load_audio
 
@@ -53,12 +56,18 @@ def process_all_audio(
     wavs = sorted(
         f for f in os.listdir(dataset_path) if f.endswith(".wav")
     )
+    per_file_budget = (
+        max(1, max_segments // len(wavs)) if (max_segments and wavs) else None
+    )
     for wav in wavs:
         audio, _ = load_audio(
             os.path.join(dataset_path, wav), sample_rate=cfg.sample_rate
         )
         windows = np.asarray(frame_track(audio, cfg))
         times = window_times(audio.shape[0], cfg)
+        if per_file_budget is not None:
+            windows = windows[:per_file_budget]
+            times = times[:per_file_budget]
         base = os.path.splitext(wav)[0]
         feats = extract_windows(frontend, windows, batch_size=batch_size)
         for k in range(feats.shape[0]):

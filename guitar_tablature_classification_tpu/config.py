@@ -120,6 +120,7 @@ class ModelConfig:
     vit_mlp_ratio: float = 4.0
     dropout: float = 0.3
     remat: bool = False  # jax.checkpoint per block (activation memory vs FLOPs)
+    attention_impl: str = "xla"  # xla | pallas (fused VMEM-resident-KV kernel)
 
 
 @dataclass(frozen=True)

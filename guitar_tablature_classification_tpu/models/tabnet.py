@@ -65,6 +65,7 @@ class ViTTab(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    attention_impl: str = "xla"  # xla | pallas
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -72,7 +73,7 @@ class ViTTab(nn.Module):
             hidden=self.hidden, layers=self.layers, heads=self.heads,
             patch=self.patch, input_channels=self.input_channels,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            remat=self.remat, name="vit",
+            remat=self.remat, attention_impl=self.attention_impl, name="vit",
         )(x, train=train)
 
         bn = lambda name: nn.BatchNorm(  # noqa: E731
@@ -112,7 +113,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             input_channels=cfg.input_channels, hidden=cfg.vit_hidden,
             layers=cfg.vit_layers, heads=cfg.vit_heads, patch=cfg.vit_patch,
             dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
-            remat=cfg.remat,
+            remat=cfg.remat, attention_impl=cfg.attention_impl,
         )
     if cfg.arch == "small_cnn":
         return SmallTabCNN(

@@ -27,14 +27,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("q_tile", "interpret")
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    *,
     q_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
@@ -91,3 +88,34 @@ def fused_attention(
 
     out = out[:, :n].reshape(b, h, n, dh)
     return jnp.transpose(out, (0, 2, 1, 3))  # back to [B, N, H, Dh]
+
+
+def _fused_attention_fwd(q, k, v, q_tile, interpret):
+    return fused_attention(q, k, v, q_tile, interpret), (q, k, v)
+
+
+def _fused_attention_bwd(q_tile, interpret, residuals, g):
+    """Recompute backward in XLA: at N=785 the [N, N] weights of the
+    recomputed forward fit comfortably, so a hand-written Pallas backward
+    buys nothing; the Pallas kernel keeps the *forward* (serving) path
+    free of HBM attention matrices."""
+    del q_tile, interpret
+    q, k, v = residuals
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    p = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

@@ -281,5 +281,28 @@ def test_pallas_attention_matches_xla():
     k = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
     want = jax.nn.dot_product_attention(q, k, v)
-    got = fused_attention(q, k, v, interpret=True)
+    got = fused_attention(q, k, v, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pallas_attention_gradients_match_xla():
+    from guitar_tablature_classification_tpu.ops.attention_pallas import (
+        fused_attention,
+    )
+
+    rng = np.random.default_rng(8)
+    b, n, h, dh = 1, 40, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, 128, True) ** 2)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

@@ -1,4 +1,5 @@
 from .audio import load_audio, load_wav, resample
+from .audio_loader import AudioWindowLoader, discover_tracks, load_label_grid
 from .guitarset import (
     ArrayLoader,
     GuitarTabDataset,
@@ -18,6 +19,9 @@ from .synthetic import (
 
 __all__ = [
     "ArrayLoader",
+    "AudioWindowLoader",
+    "discover_tracks",
+    "load_label_grid",
     "GuitarTabDataset",
     "as_device_batches",
     "create_dataloaders",

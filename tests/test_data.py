@@ -168,3 +168,60 @@ def test_png_image_dataset_path(tmp_path):
     )
     state, history = train_model(train, val, cfg, log=lambda s: None)
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_audio_window_loader_end_to_end(tmp_path):
+    """Raw audio + fixture-named labels -> aligned training batches."""
+    from scipy.io import wavfile
+
+    from guitar_tablature_classification_tpu.data import (
+        AudioWindowLoader,
+        discover_tracks,
+    )
+    from guitar_tablature_classification_tpu.labels import (
+        GuitarTablatureExtractor,
+    )
+    from guitar_tablature_classification_tpu.data import (
+        make_synthetic_dataset,
+    )
+    import json
+
+    cfg = CQTConfig()
+    tracks = make_synthetic_dataset(
+        np.random.default_rng(3), num_tracks=2, duration=1.0, cfg=cfg
+    )
+    audio_dir = tmp_path / "audio"
+    jams_dir = tmp_path / "jams"
+    labels_dir = tmp_path / "tabs"
+    audio_dir.mkdir(), jams_dir.mkdir()
+    for t in tracks:
+        wavfile.write(
+            str(audio_dir / f"{t['name']}.wav"), cfg.sample_rate,
+            (t["audio"] * 32767).astype(np.int16),
+        )
+        (jams_dir / f"{t['name']}.jams").write_text(json.dumps(t["jams"]))
+    GuitarTablatureExtractor(str(jams_dir), str(labels_dir)).process_all_files()
+
+    loader = AudioWindowLoader(
+        discover_tracks(str(audio_dir)), str(labels_dir),
+        batch_size=4, cfg=cfg, seed=0,
+    )
+    assert len(loader) == 2 * 5  # two 1 s tracks on the 0.2 s grid
+    batch = loader.next_batch()
+    assert batch["audio"].shape == (4, cfg.window_samples)
+    assert batch["labels"].shape == (4, 6)
+    assert batch["weights"].min() >= 0 and batch["weights"].max() == 1.0
+    # every window start should have found its label
+    assert batch["weights"].mean() == 1.0
+
+    # label correctness spot check: recompute from the jams for window 0
+    from guitar_tablature_classification_tpu.labels import parse_jams
+    from guitar_tablature_classification_tpu.labels.tablature import (
+        tablature_per_string_window,
+        tablature_to_frets,
+    )
+
+    jam = parse_jams(tracks[0]["jams"])
+    want = tablature_to_frets(tablature_per_string_window(jam, 0.0, 0.2))
+    grid0 = loader._grids[0]
+    np.testing.assert_array_equal(grid0[0.0], want)

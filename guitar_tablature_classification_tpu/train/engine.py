@@ -351,12 +351,14 @@ def train_model(
 
     for epoch in range(start_epoch, ocfg.epochs):
         t0 = time.perf_counter()
-        running_loss, steps = 0.0, 0
+        running_loss, steps, seen = 0.0, 0, 0
         for batch in train_loader:
             state, metrics = train_step(state, batch, rng, lr)
             running_loss += float(metrics["loss"])
             steps += 1
+            seen += int(batch["labels"].shape[0])
         train_loss = running_loss / max(steps, 1)
+        train_time = time.perf_counter() - t0
 
         val = validate_model(state, eval_step, val_loader)
         lr = scheduler(epoch, val["loss"], lr)
@@ -368,10 +370,12 @@ def train_model(
         history["val_per_string"].append(val["per_string_accuracy"].tolist())
         history["lr"].append(lr)
         history["epoch_time"].append(dt)
+        segments_per_sec = seen / max(train_time, 1e-9)
+        history.setdefault("segments_per_sec", []).append(segments_per_sec)
         log(
             f"epoch {epoch + 1}/{ocfg.epochs}: train {train_loss:.4f} "
             f"val {val['loss']:.4f} acc {val['accuracy']:.4f} "
-            f"lr {lr:.2e} ({dt:.1f}s)"
+            f"lr {lr:.2e} ({dt:.1f}s, {segments_per_sec:,.0f} segments/s)"
         )
 
         if on_epoch_end is not None:

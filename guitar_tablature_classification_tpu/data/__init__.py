@@ -1,6 +1,7 @@
 from .audio import load_audio, load_wav, resample
 from .audio_loader import AudioWindowLoader, discover_tracks, load_label_grid
 from .guitarset import (
+    ArrayDataset,
     ArrayLoader,
     GuitarTabDataset,
     create_dataloaders,
@@ -18,6 +19,7 @@ from .synthetic import (
 )
 
 __all__ = [
+    "ArrayDataset",
     "ArrayLoader",
     "AudioWindowLoader",
     "discover_tracks",

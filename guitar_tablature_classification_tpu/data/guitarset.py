@@ -58,6 +58,23 @@ def _maybe_pack(src_dir: str, cache_prefix: str):
     return load_packed(cache_prefix)
 
 
+@dataclass
+class ArrayDataset:
+    """In-memory (features, labels) pair with the GuitarTabDataset item
+    protocol — used for synthetic datasets and tests."""
+
+    features: np.ndarray
+    labels: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.features)
+
+    def __getitem__(self, i: int):
+        tab = np.asarray(self.labels[i])
+        frets = np.argmax(tab, axis=-1) if tab.ndim == 2 else tab
+        return np.asarray(self.features[i], np.float32), frets.astype(np.int32)
+
+
 class GuitarTabDataset:
     """Paired (features, labels), sorted-name alignment with the count
     assert of my_dataloader.py:13."""

@@ -115,6 +115,15 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
             remat=cfg.remat, attention_impl=cfg.attention_impl,
         )
+    if cfg.arch == "resnet18_native":
+        # TPU-first extension (not in the reference): the 96x9 CQT goes
+        # straight into the backbone — no information is added by the
+        # 224^2 bicubic upsample, and compute drops ~25x per window.
+        return GuitarTabNet(
+            num_frets=cfg.num_frets, num_strings=cfg.num_strings,
+            input_channels=1, dtype=dtype, param_dtype=param_dtype,
+            remat=cfg.remat,
+        )
     if cfg.arch == "small_cnn":
         return SmallTabCNN(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,

@@ -106,7 +106,7 @@ def make_preprocess(
             x = feats.astype(jnp.float32) / 255.0
             # small_cnn consumes native resolution (its flatten layer
             # scales with pixel count); the 224^2 backbones resize.
-            needs_resize = arch != "small_cnn" and (
+            needs_resize = arch not in ("small_cnn", "resnet18_native") and (
                 x.shape[1] != image_size or x.shape[2] != image_size
             )
             if needs_resize:
@@ -117,7 +117,7 @@ def make_preprocess(
                 x = imagenet_normalize(x)
             return x
         x = db_to_unit(feats)
-        if arch == "small_cnn":
+        if arch in ("small_cnn", "resnet18_native"):
             return x[..., None]  # raw [B, 96, T, 1], no resize needed
         x = resize_bicubic(x, (image_size, image_size))
         x = tile_channels(x, model_cfg.input_channels)

@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--features", default=None, help="CQT feature .npy dir")
     p.add_argument("--labels", default=None, help="tablature .npy dir")
     p.add_argument("--arch", default="resnet18",
-                   choices=["resnet18", "vit_s8", "small_cnn"])
+                   choices=["resnet18", "resnet18_native", "vit_s8", "small_cnn"])
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
@@ -85,6 +85,8 @@ def synthetic_loaders(cfg, num_tracks: int):
     rng = np.random.default_rng(cfg.optim.seed)
     tracks = make_synthetic_dataset(rng, num_tracks, duration=4.0, cfg=cfg.cqt)
 
+    from ..data.guitarset import ArrayDataset
+
     feats_list, labels_list = [], []
     hop = cfg.cqt.window_samples  # non-overlapping 0.2 s grid (fixture grid)
     for track in tracks:
@@ -98,13 +100,7 @@ def synthetic_loaders(cfg, num_tracks: int):
         feats_list.append(feats)
     features = np.concatenate(feats_list)
     labels = np.stack(labels_list)
-
-    class _Mem:
-        pass
-
-    dataset = _Mem()
-    dataset.features = features
-    dataset.labels = labels
+    dataset = ArrayDataset(features, labels)
     tr, va, te = torch_random_split_indices(
         len(features), (0.8, 0.1, 0.1), cfg.data.split_seed
     )

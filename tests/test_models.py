@@ -306,3 +306,19 @@ def test_pallas_attention_gradients_match_xla():
     got = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_resnet18_native_variant():
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    cfg = ModelConfig(arch="resnet18_native", dtype="float32")
+    model = build_model(cfg)
+    preprocess = make_preprocess(cfg)
+    feats = jnp.asarray(
+        np.random.default_rng(0).uniform(-120, 0, (2, 96, 9)), jnp.float32
+    )
+    x = preprocess(feats)
+    assert x.shape == (2, 96, 9, 1)  # no 224 upsample
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 6, 19)

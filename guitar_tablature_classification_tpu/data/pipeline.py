@@ -14,7 +14,6 @@ import collections
 from typing import Iterable, Iterator
 
 import jax
-import numpy as np
 
 
 def device_prefetch(
@@ -73,9 +72,3 @@ def as_device_batches(
 
         sharding = batch_sharding(mesh, mesh_cfg)
     yield from device_prefetch(loader, size=prefetch, sharding=sharding)
-
-
-def stack_batches(batches: list[dict]) -> dict:
-    return {
-        k: np.concatenate([b[k] for b in batches]) for k in batches[0]
-    }

@@ -38,14 +38,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-smooth", action="store_true",
                    help="disable mode smoothing")
     p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--serving-recipe", action="store_true",
+                   help="use the reference CNN inference CQT recipe "
+                        "(84 bins, 22.05 kHz, fmin C2; "
+                        "tablature_generator.py:619) instead of the "
+                        "training recipe")
     return p
 
 
 def load_transcriber(args):
+    import dataclasses
+
     from ..config import CQTConfig, ModelConfig
     from .transcribe import Transcriber, transcriber_from_torch_checkpoint
 
-    cqt_cfg = CQTConfig(
+    base = (
+        CQTConfig.serving_cnn()
+        if getattr(args, "serving_recipe", False)
+        else CQTConfig()
+    )
+    cqt_cfg = dataclasses.replace(
+        base,
         window_seconds=args.segment_duration,
         hop_seconds=args.segment_duration * (1.0 - args.overlap),
     )

@@ -119,3 +119,24 @@ def test_cli_smoke(tmp_path):
     assert rc == 0
     assert out.exists()
     assert "e|" in out.read_text()
+
+
+def test_cli_serving_recipe(tmp_path):
+    from scipy.io import wavfile
+
+    from guitar_tablature_classification_tpu.infer import cli
+
+    serving = CQTConfig.serving_cnn()
+    rng = np.random.default_rng(1)
+    audio = (0.3 * rng.standard_normal(serving.sample_rate * 7)).astype(
+        np.float32
+    )  # 7 s at 22.05 kHz -> two 3 s windows at 50% overlap... (3 complete)
+    wav = tmp_path / "long.wav"
+    wavfile.write(str(wav), serving.sample_rate, (audio * 32767).astype(np.int16))
+    rc = cli.main(
+        [str(wav), "--arch", "small_cnn", "--serving-recipe",
+         "--segment-duration", "3.0", "--overlap", "0.5",
+         "--output", str(tmp_path / "out.txt"), "--batch-size", "4"]
+    )
+    assert rc == 0
+    assert (tmp_path / "out.txt").exists()

@@ -384,7 +384,14 @@ def train_model(
 
         if val["loss"] < best_val:
             best_val = val["loss"]
-            best_state = state
+            # Device-side copy: train_step donates its input state, so a
+            # bare reference would hold deleted buffers once training
+            # continues past this epoch (donation is real on TPU only —
+            # CPU tests won't catch a missing copy here).
+            best_state = jax.tree.map(
+                lambda x: jnp.array(x) if isinstance(x, jax.Array) else x,
+                state,
+            )
             patience = 0
             if checkpointer is not None:
                 checkpointer.save(state, epoch=epoch, metrics=val)

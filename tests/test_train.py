@@ -217,3 +217,18 @@ def test_vit_train_step_tiny():
     ).mean()
     # backbone trains ~10x slower than heads (ViT_engine.py:244-251)
     assert 0 < backbone_delta < head_delta
+
+
+def test_on_epoch_end_callback(_small_setup_cached):
+    _, _, batch = _small_setup_cached
+    calls = []
+    cfg = TrainConfig(
+        model=ModelConfig(arch="small_cnn", dtype="float32"),
+        optim=OptimConfig(epochs=2, early_stop_patience=5),
+    )
+    train_model(
+        [batch], [batch], cfg, log=lambda s: None,
+        on_epoch_end=lambda epoch, hist: calls.append(epoch),
+    )
+    assert calls == [0, 1]
+    # throughput metric recorded per epoch

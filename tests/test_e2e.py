@@ -56,3 +56,79 @@ def test_synthetic_training_learns(tmp_path, capsys):
     assert rc == 0
     log_text = (tmp_path / "ckpt" / "train_log.jsonl").read_text()
     assert "resumed from epoch" in log_text
+
+
+@pytest.mark.slow
+def test_transcription_of_held_out_track(tmp_path):
+    """BASELINE config 4: train, then transcribe a fresh track end to end
+    and score the tablature against its ground-truth JAMS."""
+    import jax
+    import jax.numpy as jnp
+
+    from guitar_tablature_classification_tpu.config import (
+        CQTConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from guitar_tablature_classification_tpu.data import (
+        make_synthetic_dataset,
+    )
+    from guitar_tablature_classification_tpu.infer import Transcriber
+    from guitar_tablature_classification_tpu.labels import parse_jams
+    from guitar_tablature_classification_tpu.labels.tablature import (
+        tablature_per_string_window,
+        tablature_to_frets,
+    )
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.train.run import (
+        synthetic_loaders,
+    )
+    from guitar_tablature_classification_tpu.train import (
+        create_train_state,
+        make_preprocess,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(
+        model=ModelConfig(arch="small_cnn", dtype="float32"),
+        optim=OptimConfig(epochs=10, learning_rate=3e-3, seed=0),
+    )
+    train_loader, _, _ = synthetic_loaders(cfg, num_tracks=3)
+
+    model = build_model(cfg.model)
+    preprocess = make_preprocess(cfg.model)
+    first = next(iter(train_loader))
+    state = create_train_state(
+        model, cfg.optim, jax.random.PRNGKey(0),
+        preprocess(jnp.asarray(first["features"][:1])),
+    )
+    step = make_train_step(model, preprocess, smoothing=0.05)
+    for _ in range(8):
+        for batch in train_loader:
+            state, _m = step(state, batch, jax.random.PRNGKey(1), 3e-3)
+
+    # held-out track (different seed stream than training tracks)
+    cqt_cfg = cfg.cqt
+    track = make_synthetic_dataset(
+        np.random.default_rng(999), num_tracks=1, duration=2.0, cfg=cqt_cfg
+    )[0]
+    transcriber = Transcriber(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        model_cfg=cfg.model, cqt_cfg=cqt_cfg, batch_size=8,
+    )
+    result = transcriber.transcribe(
+        track["audio"], hop_samples=cqt_cfg.window_samples, smooth_window=0
+    )
+
+    jam = parse_jams(track["jams"])
+    want = np.stack(
+        [
+            tablature_to_frets(
+                tablature_per_string_window(jam, t, cqt_cfg.window_seconds)
+            )
+            for t in result.times
+        ]
+    )
+    accuracy = float((result.frets == want).mean())
+    assert accuracy > 0.25, accuracy  # chance ~= a few percent

@@ -322,3 +322,64 @@ def test_resnet18_native_variant():
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     y = model.apply(variables, x, train=False)
     assert y.shape == (2, 6, 19)
+
+
+def test_torch_export_round_trip_guitartabnet():
+    """flax -> reference state_dict -> torch load_state_dict(strict) ->
+    forward parity."""
+    from guitar_tablature_classification_tpu.models.torch_export import (
+        guitartabnet_state_dict,
+    )
+
+    model = GuitarTabNet(dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(3), x, train=False)
+    sd = guitartabnet_state_dict(variables)
+
+    tm = _torch_guitartabnet()
+    tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd.items()}, strict=True)
+    tm.eval()
+    with torch.no_grad():
+        want = np.stack(
+            [o.numpy() for o in tm(torch.from_numpy(
+                np.asarray(x).transpose(0, 3, 1, 2).copy()))],
+            axis=1,
+        )
+    got = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_torch_export_round_trip_vittab(tmp_path):
+    """flax ViTTab -> .pt file -> transcriber_from_torch_checkpoint ->
+    identical variables."""
+    from guitar_tablature_classification_tpu.models.torch_export import (
+        save_torch_checkpoint,
+    )
+    from guitar_tablature_classification_tpu.models.torch_import import (
+        load_torch_checkpoint,
+        vittab_variables_from_torch,
+    )
+
+    model = ViTTab(layers=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(4), x, train=False)
+    path = str(tmp_path / "export.pt")
+    save_torch_checkpoint(path, variables, arch="vit_s8", meta={"epoch": 1})
+
+    back = vittab_variables_from_torch(load_torch_checkpoint(path))
+    flat_a = {
+        str(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    }
+    flat_b = {
+        str(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(back["params"])[0]
+    }
+    assert flat_a.keys() == flat_b.keys()
+    for key in flat_a:
+        np.testing.assert_allclose(
+            flat_a[key], flat_b[key], atol=1e-6, err_msg=key
+        )

@@ -1,5 +1,6 @@
 from .tab_image import create_tablature_image, plot_string_activations
 from .tab_text import format_tablature_text, format_time_table, write_tablature_file
+from .streaming import StreamingTranscriber
 from .transcribe import (
     Transcriber,
     Transcription,
@@ -7,6 +8,7 @@ from .transcribe import (
 )
 
 __all__ = [
+    "StreamingTranscriber",
     "Transcriber",
     "Transcription",
     "create_tablature_image",

@@ -140,3 +140,49 @@ def test_cli_serving_recipe(tmp_path):
     )
     assert rc == 0
     assert (tmp_path / "out.txt").exists()
+
+
+def test_streaming_matches_offline(transcriber):
+    """Chunked feeds produce exactly the offline transcription."""
+    from guitar_tablature_classification_tpu.infer import StreamingTranscriber
+
+    cfg = transcriber.cqt_cfg
+    audio = render_performance(
+        [(0, 3, 0.1, 0.8), (4, 7, 0.6, 0.9), (2, 5, 1.1, 0.5)], 2.0, cfg
+    )
+    offline = transcriber.transcribe(audio, smooth_window=3)
+
+    stream = StreamingTranscriber(transcriber, smooth_window=3)
+    rng = np.random.default_rng(0)
+    got_frets, got_times = [], []
+    pos = 0
+    while pos < len(audio):
+        chunk = int(rng.integers(1000, 20000))
+        out = stream.feed(audio[pos : pos + chunk])
+        got_frets.append(out.frets)
+        got_times.append(out.times)
+        pos += chunk
+    out = stream.flush()
+    got_frets.append(out.frets)
+    got_times.append(out.times)
+
+    frets = np.concatenate(got_frets)
+    times = np.concatenate(got_times)
+    np.testing.assert_array_equal(frets, offline.frets)
+    np.testing.assert_allclose(times, offline.times, atol=1e-9)
+
+
+def test_streaming_tiny_track_passthrough(transcriber):
+    """Tracks shorter than the smoothing window return raw predictions
+    (offline passthrough semantics)."""
+    from guitar_tablature_classification_tpu.infer import StreamingTranscriber
+
+    cfg = transcriber.cqt_cfg
+    audio = render_performance([(0, 2, 0.05, 0.3)], 0.5, cfg)  # 3 windows
+    offline = transcriber.transcribe(audio, smooth_window=3)
+
+    stream = StreamingTranscriber(transcriber, smooth_window=3)
+    out1 = stream.feed(audio)
+    out2 = stream.flush()
+    frets = np.concatenate([out1.frets, out2.frets])
+    np.testing.assert_array_equal(frets, offline.frets)

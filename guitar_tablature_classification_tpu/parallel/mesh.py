@@ -27,8 +27,10 @@ from ..config import MeshConfig
 
 def maybe_initialize_distributed() -> None:
     """jax.distributed.initialize() iff running under a multi-host launcher
-    (the DCN path; single-host slices need nothing)."""
-    if "COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+    (the DCN path; single-host slices need nothing).  Must be called
+    before any other JAX API touches the backend — so the check is
+    env-only (querying jax.process_count() would initialize it)."""
+    if "COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
 
 

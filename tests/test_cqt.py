@@ -170,3 +170,20 @@ def test_cqt_golden_fixture_regression(frontend):
     want = data["output"]
     boundary = np.abs(want + 60.0) < 0.5
     np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.15)
+
+
+def test_pallas_kernel_serving_recipe():
+    """The fused kernel handles the 84-bin serving recipe (non-128-aligned
+    bins, different hop/width) in interpret mode."""
+    serving = CQTConfig.serving_cnn()
+    import dataclasses
+
+    serving = dataclasses.replace(serving, window_seconds=0.5, hop_seconds=0.25)
+    xla_fe = CQTFrontend(serving, use_pallas=False)
+    pallas_fe = CQTFrontend(serving, use_pallas=True, pallas_interpret=True)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, serving.window_samples)).astype(np.float32)
+    want = np.asarray(xla_fe(x))
+    got = np.asarray(pallas_fe(x))
+    boundary = np.abs(want - serving.gate_threshold_db) < 0.5
+    np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.02)

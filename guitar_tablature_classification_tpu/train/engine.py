@@ -214,15 +214,23 @@ def make_eval_step(model, preprocess=None, *, smoothing=0.05, frontend=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         logits = state.apply_fn(variables, images, train=False)
         labels = batch["labels"]
-        loss = label_smoothing_loss(logits, labels, smoothing)
-        per_string, overall = per_string_accuracy(logits, labels)
+        # weights mask out padded rows of the final short batch — they must
+        # not count toward loss or accuracy.
+        weights = batch.get("weights")
+        if weights is None:
+            weights = jnp.ones(labels.shape, jnp.float32)
+        loss = label_smoothing_loss(logits, labels, smoothing, weights=weights)
         correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        correct = correct * weights
+        count = jnp.sum(weights, axis=0)
+        per_string = jnp.sum(correct, axis=0) / jnp.maximum(count, 1.0)
+        overall = jnp.sum(correct) / jnp.maximum(jnp.sum(weights), 1.0)
         return {
             "loss": loss,
             "accuracy": overall,
             "per_string_accuracy": per_string,
             "correct": jnp.sum(correct, axis=0),
-            "count": jnp.full((labels.shape[1],), labels.shape[0], jnp.float32),
+            "count": count,
         }
 
     return eval_step

@@ -232,3 +232,35 @@ def test_on_epoch_end_callback(_small_setup_cached):
     )
     assert calls == [0, 1]
     # throughput metric recorded per epoch
+
+
+def test_eval_step_respects_padding_weights(_small_setup_cached):
+    """Padded rows of a short final batch must not count toward eval
+    loss/accuracy."""
+    model, preprocess, batch = _small_setup_cached
+    state = create_train_state(
+        model, OptimConfig(), jax.random.PRNGKey(0),
+        preprocess(batch["features"][:1]),
+    )
+    eval_step = make_eval_step(model, preprocess)
+
+    # full batch of 16; mask half of it out
+    w = np.ones((16, 6), np.float32)
+    w[8:] = 0.0
+    masked = dict(batch)
+    masked["weights"] = jnp.asarray(w)
+    m_masked = eval_step(state, masked)
+    # same result as evaluating only the first 8 rows
+    small = {
+        "features": batch["features"][:8],
+        "labels": batch["labels"][:8],
+    }
+    m_small = eval_step(state, small)
+    np.testing.assert_allclose(
+        float(m_masked["accuracy"]), float(m_small["accuracy"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_masked["correct"]), np.asarray(m_small["correct"]),
+        atol=1e-5,
+    )
+    assert float(np.asarray(m_masked["count"]).sum()) == 48  # 8 rows x 6

@@ -115,6 +115,11 @@ def main():
                 "unit": "segments/sec",
                 "vs_baseline": round(value / REFERENCE_CPU_SEGMENTS_PER_SEC, 1),
                 "detail": {
+                    "baseline": (
+                        "modeled single-core CPU proxy (4.4 seg/s): librosa "
+                        "absent here, so its CQT stage is a generous FFT "
+                        "stand-in — see tools/measure_cpu_baseline.py"
+                    ),
                     "batch": BATCH,
                     "timed_steps": TIMED_STEPS,
                     "step_ms": round(1e3 * elapsed / TIMED_STEPS, 2),

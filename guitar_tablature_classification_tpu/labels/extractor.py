@@ -7,8 +7,11 @@ directory of GuitarSet ``.jams``, derive the 0.2 s segment grid, emit one
 
 Defaults reproduce the SHIPPED fixture convention (see
 :mod:`.tablature`): window-overlap per-string labels on a 0.2 s grid with
-filenames ``{track}_segment_0_{start:.2f}.npy`` — the naming measured on
-the 43,188 files in the reference's ``tablatures/`` directory.  The
+filenames ``{track}_segment_{file_index}_{start:.2f}.npy``, where
+``file_index`` is the excerpt's position in the sorted processing order —
+the naming measured over all 43,188 files in the reference's
+``tablatures/`` directory (360 excerpts, ids 0-359 in sorted order,
+constant per excerpt; times walk a contiguous 0.2 s grid from 0.00).  The
 jam_to_tablature.py center-instant/lowest-fret convention (with its
 pitch_contour fallback) is available as ``convention="lowest_fret_center"``.
 """
@@ -99,7 +102,11 @@ class GuitarTablatureExtractor:
         return [i * self.window for i in range(n)]
 
     def process_file(
-        self, jams_path: str, stats: ExtractionStats | None = None
+        self,
+        jams_path: str,
+        stats: ExtractionStats | None = None,
+        *,
+        file_index: int = 0,
     ) -> list[str]:
         stats = stats if stats is not None else ExtractionStats()
         jam = load_jams(jams_path)
@@ -107,7 +114,7 @@ class GuitarTablatureExtractor:
         written = []
         for start in self.segment_starts(jam):
             tab = self.extract_segment(jam, start)
-            name = f"{base}_segment_0_{start:.2f}.npy"
+            name = f"{base}_segment_{file_index}_{start:.2f}.npy"
             path = os.path.join(self.output_dir, name)
             np.save(path, tab)
             written.append(path)
@@ -123,9 +130,12 @@ class GuitarTablatureExtractor:
         files = sorted(
             f for f in os.listdir(self.jams_dir) if f.endswith(".jams")
         )
-        for fname in files:
+        for file_index, fname in enumerate(files):
             try:
-                self.process_file(os.path.join(self.jams_dir, fname), stats)
+                self.process_file(
+                    os.path.join(self.jams_dir, fname), stats,
+                    file_index=file_index,
+                )
             except Exception as exc:  # collect, keep going (:374-378)
                 stats.errors.append(f"{fname}: {exc}")
         return stats

@@ -255,21 +255,25 @@ def create_train_state(
 
 def validate_model(state, eval_step, loader: Iterable) -> dict[str, float]:
     """Aggregate eval metrics over a loader; per-string accuracy is the
-    exact correct/total ratio (bestengine.py:230-299 semantics)."""
+    exact correct/total ratio (bestengine.py:230-299 semantics).  Loss is
+    likewise the exact weighted mean over all (sample, string) cells: each
+    batch's weighted-mean loss is re-scaled by its weight total so a padded
+    or short final batch contributes proportionally, not equally."""
     import numpy as np
 
-    total_loss, steps = 0.0, 0
+    loss_weighted_sum = 0.0
     correct = np.zeros(6)
     count = np.zeros(6)
     for batch in loader:
         m = eval_step(state, batch)
-        total_loss += float(m["loss"])
+        # eval_step's loss = weighted_sum / weight_total for the batch and
+        # count.sum() = weight_total, so this recovers the weighted sum.
+        loss_weighted_sum += float(m["loss"]) * float(np.asarray(m["count"]).sum())
         correct += np.asarray(m["correct"])
         count += np.asarray(m["count"])
-        steps += 1
     per_string = correct / np.maximum(count, 1.0)
     return {
-        "loss": total_loss / max(steps, 1),
+        "loss": loss_weighted_sum / max(count.sum(), 1.0),
         "per_string_accuracy": per_string,
         "accuracy": float(correct.sum() / max(count.sum(), 1.0)),
     }

@@ -43,6 +43,14 @@ class CQTConfig:
     filter_scale: float = 1.0
     window: str = "hann"
     magnitude_power: float = 4.0  # |CQT|**4 before dB (cqt.py:56)
+    # librosa.cqt(scale=True) bin gains: each bin scaled so its response
+    # to a sinusoid is ~sqrt(filter_length)/2 — a ~24 dB amplitude tilt
+    # across 8 octaves that survives the ref=max dB + gate. False = flat
+    # L1 gains (the round-1 spec; kept for comparison).
+    scale: bool = True
+    # librosa 0.10 cqt default pad_mode='constant' (zeros); 'reflect'
+    # matches older librosa and the round-1 spec.
+    pad_mode: str = "constant"
     top_db: float = 80.0  # librosa amplitude_to_db default
     gate_threshold_db: float = -60.0  # cqt_lim threshold (cqt.py:10-13)
     gate_floor_db: float = -120.0
@@ -61,7 +69,12 @@ class CQTConfig:
 
     @property
     def q_factor(self) -> float:
-        return self.filter_scale / (2.0 ** (1.0 / self.bins_per_octave) - 1.0)
+        """librosa 0.10 Q: filter_scale / alpha with the symmetric
+        relative bandwidth alpha = (2^(2/bpo) - 1) / (2^(2/bpo) + 1)
+        (filters._relative_bandwidth; equal-tempered bins make it uniform
+        across bins including the edges)."""
+        r = 2.0 ** (2.0 / self.bins_per_octave)
+        return self.filter_scale * (r + 1.0) / (r - 1.0)
 
     @property
     def n_frames(self) -> int:

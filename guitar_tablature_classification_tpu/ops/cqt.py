@@ -4,7 +4,7 @@ Replaces the reference's per-segment CPU librosa loop (``cqt.py:36-63``:
 one ``librosa.cqt`` call per 0.2 s window, thousands of calls per track)
 with ONE fused device computation over a whole batch of windows:
 
-    reflect-pad -> frame gather -> dense GEMM against the CQT filterbank
+    center-pad -> frame gather -> dense GEMM against the CQT filterbank
     (MXU) -> |.|**4 -> dB(ref=max) -> -60 dB noise gate  (all under jit).
 
 The filterbank is precomputed at trace time (:mod:`.cqt_kernels`) and fed
@@ -50,7 +50,7 @@ def reflect_index(num_samples: int, pad: int) -> np.ndarray:
 def _cqt_windows_impl(
     x: jax.Array,
     kernels: jax.Array,
-    pad_index: jax.Array,
+    pad_index: jax.Array | None,
     *,
     hop_length: int,
     n_bins: int,
@@ -67,11 +67,18 @@ def _cqt_windows_impl(
     kernel_width = kernels.shape[0]
     t = n_frames_for(num_samples, hop_length)
 
-    padded = jnp.take(x, pad_index, axis=-1)  # [B, W + 2*pad]
+    if pad_index is None:  # pad_mode='constant' (librosa 0.10 default)
+        pad = kernel_width // 2
+        padded = jnp.pad(x, ((0, 0), (pad, pad)))
+    else:  # pad_mode='reflect' via static gather indices
+        padded = jnp.take(x, pad_index, axis=-1)  # [B, W + 2*pad]
     if use_pallas:
         from .cqt_pallas import cqt_fused
 
-        block = 16
+        # Batch block sized to the padded window so the (double-buffered)
+        # VMEM-resident audio block stays ~<=4 MB: 16 rows for the 0.2 s
+        # training recipe, 8 for wide serving windows (3 s x 22.05 kHz).
+        block = 16 if padded.shape[1] * 16 * 4 <= 4 * 2**20 else 8
         pad_rows = (-batch) % block
         if pad_rows:
             padded = jnp.pad(padded, ((0, pad_rows), (0, 0)))
@@ -145,7 +152,9 @@ class CQTFrontend:
         n = num_samples if num_samples is not None else self.cfg.window_samples
         return (self.cfg.n_bins, n_frames_for(n, self.cfg.hop_length))
 
-    def _index_for(self, num_samples: int) -> np.ndarray:
+    def _index_for(self, num_samples: int) -> np.ndarray | None:
+        if self.cfg.pad_mode == "constant":
+            return None  # zero-pad happens inside the jitted impl
         # Cache NumPy (not device arrays): __call__ may run inside an outer
         # jit trace, where caching a traced constant would leak tracers.
         idx = self._pad_index.get(num_samples)

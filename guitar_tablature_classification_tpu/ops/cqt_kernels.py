@@ -9,10 +9,17 @@ bin, evaluated as a dense GEMM against frames of the signal — because a
 single large matmul is the idiomatic mapping onto the TPU MXU
 (nnAudio/MelT formulation; see PAPERS.md).
 
-Because the reference pipeline dB-scales with ``ref=np.max`` and then
-gates at -60 dB (``cqt.py:56-58``), only *relative* per-bin gains survive
-into the features; kernels here are L1-normalized per bin, which keeps
-bin gains flat like librosa's ``norm=1`` filterbank.
+Numerics are librosa-0.10-faithful (the library the reference actually
+calls): symmetric-alpha Q, float filter lengths ``Q * sr / f`` with
+``arange(-l//2, l//2)`` support, periodic Hann, L1 normalization
+(``norm=1``), and — because ``librosa.cqt`` defaults to ``scale=True`` —
+a ``sqrt(length)`` per-bin gain (each bin's response to a unit sinusoid
+is ~``sqrt(length)/2``).  That gain is a ~24 dB amplitude tilt across the
+8 octaves which survives the ``ref=np.max`` dB scaling and the -60 dB
+gate (``cqt.py:56-58``), so it is part of the feature definition, not a
+free constant.  The single-rate direct form here is validated against a
+full reimplementation of librosa's recursive multirate algorithm
+(:mod:`.cqt_librosa`) in tests/test_cqt.py.
 """
 
 from __future__ import annotations
@@ -77,14 +84,17 @@ def make_filterbank(cfg: CQTConfig, align: int = 256) -> CQTFilterbank:
             f"top CQT bin {freqs[-1]:.1f} Hz exceeds Nyquist {nyquist:.1f} Hz"
         )
     q = cfg.q_factor
-    lengths = np.ceil(q * cfg.sample_rate / freqs).astype(np.int64)
-    width = _round_up(int(lengths.max()), max(align, cfg.hop_length))
+    lengths_f = q * cfg.sample_rate / freqs  # float lengths, librosa-style
+    width = _round_up(int(np.ceil(lengths_f.max())), max(align, cfg.hop_length))
 
     real = np.zeros((width, cfg.n_bins), dtype=np.float64)
     imag = np.zeros((width, cfg.n_bins), dtype=np.float64)
     center = width // 2
     for b in range(cfg.n_bins):
-        length = int(lengths[b])
+        lf = lengths_f[b]
+        # librosa filters.wavelet support: arange(-l//2, l//2) on the
+        # float length -> ceil(l/2) + floor(l/2) samples.
+        length = int(np.ceil(lf / 2.0) + np.floor(lf / 2.0))
         n = np.arange(length, dtype=np.float64)
         # Phase referenced to the kernel center; only |CQT| is consumed
         # downstream (cqt.py:56) so the absolute phase origin is free.
@@ -92,6 +102,11 @@ def make_filterbank(cfg: CQTConfig, align: int = 256) -> CQTFilterbank:
         win = _hann_periodic(length)
         kernel = win * np.exp(1j * phase)
         kernel /= np.sum(np.abs(kernel))  # L1 normalization (librosa norm=1)
+        if cfg.scale:
+            # librosa.cqt(scale=True): response to a unit sinusoid is
+            # ~sqrt(length)/2 per bin (raw octave response ~length/2,
+            # final V /= sqrt(length)).
+            kernel *= np.sqrt(lf)
         start = center - length // 2
         real[start : start + length, b] = kernel.real
         imag[start : start + length, b] = kernel.imag
@@ -99,7 +114,7 @@ def make_filterbank(cfg: CQTConfig, align: int = 256) -> CQTFilterbank:
     return CQTFilterbank(
         kernels_real=real.astype(np.float32),
         kernels_imag=imag.astype(np.float32),
-        lengths=lengths.astype(np.int32),
+        lengths=np.ceil(lengths_f).astype(np.int32),
         frequencies=freqs,
         kernel_width=width,
         hop_length=cfg.hop_length,
@@ -115,6 +130,16 @@ def n_frames_for(num_samples: int, hop_length: int) -> int:
 def reflect_pad_np(x: np.ndarray, pad: int) -> np.ndarray:
     """np.pad(mode='reflect') along the last axis (supports pad >= length)."""
     return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def pad_np(x: np.ndarray, pad: int, mode: str) -> np.ndarray:
+    """Centered-frame padding: 'constant' (librosa 0.10 cqt default) or
+    'reflect' (older librosa)."""
+    if mode == "constant":
+        return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    if mode == "reflect":
+        return reflect_pad_np(x, pad)
+    raise ValueError(f"unknown pad_mode {mode!r}")
 
 
 def amplitude_to_db_np(
@@ -150,7 +175,7 @@ def cqt_reference(x: np.ndarray, cfg: CQTConfig) -> np.ndarray:
         x = x[None]
     fb = make_filterbank(cfg)
     pad = fb.kernel_width // 2
-    padded = reflect_pad_np(x.astype(np.float64), pad)
+    padded = pad_np(x.astype(np.float64), pad, cfg.pad_mode)
     t = n_frames_for(x.shape[-1], cfg.hop_length)
     kernels = fb.kernels_real.astype(np.float64) + 1j * fb.kernels_imag.astype(
         np.float64

@@ -68,6 +68,8 @@ def cqt_frame_gemm(
     k_tiles = kw_pad // k_tile
     t = n_frames
 
+    frame_tile = min(t, 16)  # bound the [BB, FT, KT] stack's VMEM footprint
+
     def kernel(x_ref, k_ref, out_ref):
         j = pl.program_id(1)
 
@@ -77,19 +79,21 @@ def cqt_frame_gemm(
 
         ktile = k_ref[:]  # [KT, 2F]
         base = j * k_tile
-        frames = jnp.stack(
-            [
-                x_ref[:, pl.ds(base + i * hop_length, k_tile)]
-                for i in range(t)
-            ],
-            axis=1,
-        )  # [BB, T, KT]
-        out_ref[:] += jax.lax.dot_general(
-            frames, ktile,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # true-fp32 MXU passes
-        )
+        for c in range(0, t, frame_tile):
+            tc = min(frame_tile, t - c)
+            frames = jnp.stack(
+                [
+                    x_ref[:, pl.ds(base + (c + i) * hop_length, k_tile)]
+                    for i in range(tc)
+                ],
+                axis=1,
+            )  # [BB, tc, KT]
+            out_ref[:, c : c + tc, :] += jax.lax.dot_general(
+                frames, ktile,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # true-fp32 MXU passes
+            )
 
     grid = (b // batch_block, k_tiles)
     return pl.pallas_call(
@@ -179,6 +183,8 @@ def cqt_fused(
     k_tiles = kw_pad // k_tile
     t = n_frames
 
+    frame_tile = min(t, 16)  # bound the [BB, FT, KT] stack's VMEM footprint
+
     def kernel(x_ref, k_ref, out_ref, acc_ref):
         j = pl.program_id(1)
 
@@ -186,19 +192,22 @@ def cqt_fused(
         def _init():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        frames = jnp.stack(
-            [
-                x_ref[:, pl.ds(j * k_tile + i * hop_length, k_tile)]
-                for i in range(t)
-            ],
-            axis=1,
-        )  # [BB, T, KT]
-        acc_ref[:] += jax.lax.dot_general(
-            frames, k_ref[:],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        ktile = k_ref[:]
+        for c in range(0, t, frame_tile):
+            tc = min(frame_tile, t - c)
+            frames = jnp.stack(
+                [
+                    x_ref[:, pl.ds(j * k_tile + (c + i) * hop_length, k_tile)]
+                    for i in range(tc)
+                ],
+                axis=1,
+            )  # [BB, tc, KT]
+            acc_ref[:, c : c + tc, :] += jax.lax.dot_general(
+                frames, ktile,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         @pl.when(j == k_tiles - 1)
         def _epilogue():

@@ -15,7 +15,8 @@ def test_cqt_derived_quantities():
     assert cfg.window_samples == 8820
     assert cfg.hop_samples == 4410
     assert cfg.n_frames == 9
-    assert abs(cfg.q_factor - 16.817) < 0.01
+    # librosa 0.10 symmetric-alpha Q (old-form 1/(2^(1/12)-1) was 16.817)
+    assert abs(cfg.q_factor - 17.3316) < 0.01
     serving = CQTConfig.serving_cnn()
     assert serving.sample_rate == 22050 and serving.n_bins == 84
 

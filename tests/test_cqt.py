@@ -40,9 +40,74 @@ def test_filterbank_shapes(cfg):
     assert fb.kernels_real.shape == (fb.kernel_width, cfg.n_bins)
     assert fb.kernel_width % cfg.hop_length == 0
     assert int(fb.lengths.max()) <= fb.kernel_width
-    # L1 normalization: unit L1 norm per bin.
+    # librosa norm=1 + scale=True: L1 norm per bin == sqrt(float length)
+    # (L1-normalize, then the sqrt(length) scale=True gain).
     k = np.abs(fb.kernels_real + 1j * fb.kernels_imag).sum(axis=0)
-    np.testing.assert_allclose(k, 1.0, rtol=1e-5)
+    lengths_f = cfg.q_factor * cfg.sample_rate / fb.frequencies
+    np.testing.assert_allclose(k, np.sqrt(lengths_f), rtol=1e-4)
+
+
+def test_q_factor_matches_librosa_010_alpha(cfg):
+    # librosa 0.10 _relative_bandwidth (symmetric form), uniform for
+    # equal-tempered bins: Q = 1 / alpha for filter_scale=1.
+    from guitar_tablature_classification_tpu.ops.cqt_librosa import (
+        relative_bandwidth,
+    )
+    from guitar_tablature_classification_tpu.ops.cqt_kernels import (
+        bin_frequencies,
+    )
+
+    alpha = relative_bandwidth(bin_frequencies(cfg))
+    np.testing.assert_allclose(alpha, alpha[0])  # uniform incl. edges
+    np.testing.assert_allclose(cfg.q_factor, 1.0 / alpha[0], rtol=1e-12)
+
+
+@pytest.mark.parametrize("recipe", ["train", "serving"])
+def test_direct_form_matches_librosa_multirate_algorithm(recipe):
+    """SURVEY §7 hard-part-1 / round-1 VERDICT missing #4: quantify the
+    divergence between the TPU path's single-rate direct-form spec
+    (cqt_reference) and a full reimplementation of librosa 0.10's
+    recursive multirate algorithm (ops/cqt_librosa) — the algorithm the
+    reference's features actually come from (cqt.py:55).
+
+    Expected residual is resampler + per-octave discretization noise:
+    on the |CQT|**4 dB scale, sub-dB mean divergence on open cells, and
+    gate flips confined to cells within a few dB of the -60 threshold.
+    """
+    from guitar_tablature_classification_tpu.ops.cqt_kernels import (
+        bin_frequencies,
+        cqt_reference,
+    )
+    from guitar_tablature_classification_tpu.ops.cqt_librosa import (
+        cqt_multirate_db,
+    )
+
+    cfg = CQTConfig() if recipe == "train" else CQTConfig.serving_cnn()
+    rng = np.random.default_rng(0)
+    n = cfg.window_samples
+    freqs = bin_frequencies(cfg)
+    t = np.arange(n) / cfg.sample_rate
+    tones = sum(
+        np.sin(2 * np.pi * freqs[k] * t + 0.3 * k)
+        for k in range(4, cfg.n_bins, 12)
+    )
+    f1 = min(4000.0, cfg.sample_rate / 2 * 0.8)
+    chirp = np.sin(2 * np.pi * (80 * t + (f1 - 80) / (2 * t[-1]) * t**2))
+    noise = rng.standard_normal(n)
+
+    for sig in (tones, chirp, noise):
+        ours = cqt_reference(sig, cfg)
+        lib = cqt_multirate_db(sig, cfg)
+        both_open = (ours > -119) & (lib > -119)
+        d = np.abs(ours - lib)[both_open]
+        assert d.mean() < 1.0, d.mean()   # measured <= 0.55
+        assert d.max() < 8.0, d.max()     # measured <= 5.4
+        flips = (ours <= -119) != (lib <= -119)
+        assert flips.mean() < 0.02, flips.mean()  # measured <= 0.012
+        if flips.any():
+            # every flip sits near the gate threshold
+            open_side = np.where(ours <= -119, lib, ours)[flips]
+            assert np.abs(open_side - cfg.gate_threshold_db).max() < 6.0
 
 
 def test_reflect_index_matches_numpy():

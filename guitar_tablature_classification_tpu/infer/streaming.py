@@ -12,10 +12,9 @@ path over the same audio (tested).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..ops.smoothing import mode_filter
+from ..ops.smoothing import mode_filter_np
 from .transcribe import Transcriber, Transcription
 
 
@@ -76,22 +75,42 @@ class StreamingTranscriber:
             return Transcription(frets=empty, times=np.zeros(0))
         if not w or w <= 1:
             ready = total
-            values = np.stack(self._raw_frets)
+            lo, hi = self._emitted, max(self._emitted, ready)
+            out = np.stack(self._raw_frets[lo:hi]) if hi > lo else np.zeros(
+                (0, 6), np.int32
+            )
         elif total <= w:
             # Offline passthrough regime (tablature_generator.py:707):
             # hold everything until we know whether smoothing applies.
             ready = total if final else 0
-            values = np.stack(self._raw_frets)
+            lo, hi = self._emitted, max(self._emitted, ready)
+            out = np.stack(self._raw_frets[lo:hi]) if hi > lo else np.zeros(
+                (0, 6), np.int32
+            )
         else:
             # window t's mode over raw[t-w//2 : t+w//2+1] is final once
-            # window t + w//2 exists
+            # window t + w//2 exists.  Smooth only the slice around the
+            # newly-ready windows (NumPy, O(w) per feed) — identical to
+            # mode_filter over the full history because vote windows are
+            # local and the slice is widened to keep edge padding
+            # consistent with the global edges.
             ready = total if final else total - (w // 2)
-            values = np.asarray(
-                mode_filter(jnp.stack(self._raw_frets), window=w)
-            )
-        lo, hi = self._emitted, max(self._emitted, ready)
+            lo, hi = self._emitted, max(self._emitted, ready)
+            if hi > lo:
+                half = w // 2
+                a = max(0, lo - half)
+                b = min(total, hi + half)
+                if b - a <= w:  # escape mode_filter's passthrough regime
+                    a = max(0, b - (w + 1))
+                    b = min(total, a + (w + 1))
+                seg = mode_filter_np(
+                    np.stack(self._raw_frets[a:b]), window=w
+                )
+                out = seg[lo - a : hi - a]
+            else:
+                out = np.zeros((0, 6), np.int32)
         self._emitted = hi
         return Transcription(
-            frets=values[lo:hi],
+            frets=out,
             times=np.asarray(self._raw_times[lo:hi]),
         )

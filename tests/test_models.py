@@ -108,6 +108,37 @@ def _torch_resnet18(num_classes=1000):
     return TorchResNet18()
 
 
+def test_resnet18_importer_accepts_canonical_torchvision_keys():
+    """The public torchvision resnet18 state_dict schema, hardcoded: any
+    real pretrained checkpoint with these keys imports.  (Real weights are
+    unreachable in this image — no torchvision, no egress — so the key
+    contract is the strongest offline check; see ROADMAP 'pretrained
+    weights' for the fallback story.)"""
+    bn = lambda p: [  # noqa: E731
+        f"{p}.weight", f"{p}.bias", f"{p}.running_mean", f"{p}.running_var",
+        f"{p}.num_batches_tracked",
+    ]
+    canonical = ["conv1.weight", *bn("bn1")]
+    for stage in range(1, 5):
+        for block in range(2):
+            p = f"layer{stage}.{block}"
+            canonical += [f"{p}.conv1.weight", *bn(f"{p}.bn1"),
+                          f"{p}.conv2.weight", *bn(f"{p}.bn2")]
+            if stage > 1 and block == 0:
+                canonical += [f"{p}.downsample.0.weight",
+                              *bn(f"{p}.downsample.1")]
+    canonical += ["fc.weight", "fc.bias"]
+
+    tm = _torch_resnet18()
+    assert set(tm.state_dict().keys()) == set(canonical)
+
+    variables = resnet18_variables_from_torch(tm.state_dict())
+    model = ResNet18(num_features=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 1000)
+
+
 def test_resnet18_matches_torch():
     torch.manual_seed(0)
     tm = _torch_resnet18()

@@ -177,3 +177,22 @@ def test_masks_zero_correct_axis():
     yt = np.asarray(time_mask(jax.random.PRNGKey(1), x, max_width=4))[0]
     zero_cols = np.nonzero((yt == 0).all(axis=0))[0]
     assert 1 <= len(zero_cols) <= 4  # a span of frames zeroed
+
+
+def test_mode_filter_np_matches_jnp():
+    """The host-side NumPy twin used by the streaming path must be
+    bit-identical to the jitted mode_filter."""
+    import numpy as np
+
+    from guitar_tablature_classification_tpu.ops.smoothing import (
+        mode_filter,
+        mode_filter_np,
+    )
+
+    rng = np.random.default_rng(0)
+    for t in (2, 3, 4, 7, 50):
+        for w in (1, 3, 5):
+            preds = rng.integers(0, 19, (t, 6)).astype(np.int32)
+            got = mode_filter_np(preds, window=w)
+            want = np.asarray(mode_filter(preds, window=w))
+            np.testing.assert_array_equal(got, want, err_msg=f"t={t} w={w}")

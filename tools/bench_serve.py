@@ -68,6 +68,48 @@ def main():
     int(serve(variables, audio, STEPS))  # forced round trip
     dt = time.perf_counter() - t0
 
+    # -- latency axis (round-1 VERDICT #9) --------------------------------
+    # batch-1 device latency: 100 batch-1 forwards amortized in one scan
+    # (strips the axon tunnel's per-call RTT, which would otherwise
+    # dominate and misrepresent the chip).
+    one = audio[:, :1]
+    lat_steps = 100
+    int(serve(variables, one, lat_steps))
+    t1 = time.perf_counter()
+    int(serve(variables, one, lat_steps))
+    b1_device_ms = 1e3 * (time.perf_counter() - t1) / lat_steps
+
+    # batch-1 end-to-end call latency: single dispatch + result fetch —
+    # includes the tunnel RTT, so it's an upper bound on production PCIe.
+    calls = []
+    for _ in range(10):
+        t2 = time.perf_counter()
+        int(serve(variables, one, 1))
+        calls.append(time.perf_counter() - t2)
+    b1_call_ms = 1e3 * sorted(calls)[len(calls) // 2]
+
+    # streaming chunk latency: one 0.1 s hop chunk through
+    # StreamingTranscriber.feed (host windowing + jitted forward + fetch).
+    from guitar_tablature_classification_tpu.infer import (
+        StreamingTranscriber,
+        Transcriber,
+    )
+
+    transcriber = Transcriber(
+        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=8
+    )
+    stream = StreamingTranscriber(transcriber, smooth_window=3)
+    rng_s = np.random.default_rng(1)
+    chunk = rng_s.standard_normal(cqt_cfg.hop_samples).astype(np.float32)
+    for _ in range(8):  # warm: fills window, compiles the padded forward
+        stream.feed(chunk)
+    feeds = []
+    for _ in range(20):
+        t3 = time.perf_counter()
+        stream.feed(chunk)
+        feeds.append(time.perf_counter() - t3)
+    chunk_ms = 1e3 * sorted(feeds)[len(feeds) // 2]
+
     value = BATCH * STEPS / dt
     print(json.dumps({
         "metric": "serving windows/sec/chip (CQT->CNN infer)",
@@ -77,6 +119,9 @@ def main():
             "batch": BATCH,
             "forward_ms": round(1e3 * dt / STEPS, 2),
             "audio_hours_per_minute": round(value * 0.1 / 3600 * 60, 1),
+            "batch1_device_ms": round(b1_device_ms, 2),
+            "batch1_call_ms_tunnel": round(b1_call_ms, 2),
+            "stream_chunk_feed_ms_median": round(chunk_ms, 2),
         },
     }))
 

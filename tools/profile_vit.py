@@ -1,0 +1,118 @@
+"""ViT-S/8 train-step batch sweep + MFU (round-1 VERDICT #6).
+
+Times the full ViT train step (CQT + preprocess + fwd/bwd/update) at
+several batch sizes with both attention implementations, reporting
+segments/s and model FLOPs utilization against the v5e bf16 peak.
+
+Usage: python tools/profile_vit.py [--batches 64,128,256] [--attn xla,pallas]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from guitar_tablature_classification_tpu.config import (
+    CQTConfig,
+    ModelConfig,
+    OptimConfig,
+)
+from guitar_tablature_classification_tpu.models import build_model
+from guitar_tablature_classification_tpu.ops import CQTFrontend
+from guitar_tablature_classification_tpu.train import (
+    create_train_state,
+    make_preprocess,
+    make_train_step,
+)
+
+V5E_BF16_PEAK = 197e12  # TPU v5e (lite): 197 TFLOP/s bf16
+
+
+def vit_s8_train_flops(batch: int, image: int = 224, patch: int = 8) -> float:
+    """Approximate fwd+bwd FLOPs for ViT-S/8 (12 layers, d=384, mlp 1536)."""
+    tokens = (image // patch) ** 2 + 1
+    d, mlp, layers = 384, 1536, 12
+    per_layer = (
+        4 * tokens * d * d * 2          # qkv + out proj
+        + 2 * tokens * tokens * d * 2   # scores + PV
+        + 2 * tokens * d * mlp * 2      # MLP
+    )
+    embed = tokens * (patch * patch * 3) * d * 2
+    fwd = layers * per_layer + embed
+    return 3.0 * fwd * batch  # bwd ~= 2x fwd
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default="64,128,256")
+    p.add_argument("--attn", default="xla,pallas")
+    p.add_argument("--steps", type=int, default=10)
+    args = p.parse_args()
+
+    cqt_cfg = CQTConfig()
+    frontend = CQTFrontend(cqt_cfg)
+    rng = np.random.default_rng(0)
+
+    for attn in args.attn.split(","):
+        model_cfg = ModelConfig(arch="vit_s8", attention_impl=attn)
+        model = build_model(model_cfg)
+        preprocess = make_preprocess(model_cfg, image_size=224)
+        sample = jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))
+        for b in (int(x) for x in args.batches.split(",")):
+            audio = jnp.asarray(
+                rng.standard_normal((b, cqt_cfg.window_samples),
+                                    dtype=np.float32)
+            )
+            labels = jnp.asarray(rng.integers(0, 19, (b, 6)), jnp.int32)
+            state = create_train_state(
+                model, OptimConfig(name="adamw"), jax.random.PRNGKey(0),
+                preprocess(sample),
+            )
+            train_step = make_train_step(
+                model, preprocess, smoothing=0.1, frontend=frontend
+            )
+
+            @jax.jit
+            def run(s):
+                def body(s, _):
+                    s, m = train_step(
+                        s, {"audio": audio, "labels": labels},
+                        jax.random.PRNGKey(0), 5e-4,
+                    )
+                    return s, m["loss"]
+                s, losses = jax.lax.scan(body, s, None, length=args.steps)
+                return s, losses[-1]
+
+            try:
+                state, loss = run(state)
+                float(loss)
+                t0 = time.perf_counter()
+                state, loss = run(state)
+                float(loss)
+                ms = 1e3 * (time.perf_counter() - t0) / args.steps
+            except Exception as e:  # OOM at large batch is a data point
+                print(f"attn={attn:<7s} B={b:<4d} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            del state
+            segs = b / (ms / 1e3)
+            mfu = vit_s8_train_flops(b) / (ms / 1e3) / V5E_BF16_PEAK
+            print(
+                f"attn={attn:<7s} B={b:<4d} {ms:8.2f} ms/step "
+                f"{segs:9,.0f} seg/s  MFU {100 * mfu:5.1f}%", flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

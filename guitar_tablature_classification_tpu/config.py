@@ -133,7 +133,17 @@ class ModelConfig:
     vit_mlp_ratio: float = 4.0
     dropout: float = 0.3
     remat: bool = False  # jax.checkpoint per block (activation memory vs FLOPs)
-    attention_impl: str = "xla"  # xla | pallas (fused VMEM-resident-KV kernel)
+    # auto -> pallas on TPU (fused VMEM-resident-KV kernel, fwd + bwd),
+    # xla elsewhere.  XLA's dot_product_attention materializes the
+    # [B, H, N, N] weights in HBM — measured 166 of 228 ms of the ViT
+    # train step at B=64 (DESIGN.md round-2 profiling).
+    attention_impl: str = "auto"  # auto | xla | pallas
+    # GELU flavor: the reference's HF ViT uses exact erf-GELU, whose
+    # transcendental costs ~18 ms/step at B=64 on the VPU.  The tanh
+    # approximation's max abs error (~3e-4) is below bf16 activation
+    # resolution, so "auto" uses tanh for bf16 compute and exact for
+    # fp32 (keeping fp32 HF-parity tests exact).
+    gelu: str = "auto"  # auto | exact | tanh
 
 
 @dataclass(frozen=True)

@@ -66,6 +66,7 @@ class ViTTab(nn.Module):
     param_dtype: Dtype = jnp.float32
     remat: bool = False
     attention_impl: str = "xla"  # xla | pallas
+    gelu: str = "auto"  # auto | exact | tanh
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -73,7 +74,8 @@ class ViTTab(nn.Module):
             hidden=self.hidden, layers=self.layers, heads=self.heads,
             patch=self.patch, input_channels=self.input_channels,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            remat=self.remat, attention_impl=self.attention_impl, name="vit",
+            remat=self.remat, attention_impl=self.attention_impl,
+            gelu=self.gelu, name="vit",
         )(x, train=train)
 
         bn = lambda name: nn.BatchNorm(  # noqa: E731
@@ -98,6 +100,20 @@ class ViTTab(nn.Module):
         )(x, train=train)
 
 
+def _resolve_attention(impl: str) -> str:
+    """'auto' -> the fused Pallas kernel on real TPUs (Mosaic lowering),
+    XLA attention elsewhere (CPU tests run the kernel via interpret-mode
+    tests instead)."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def build_model(cfg: ModelConfig) -> nn.Module:
     dtype = jnp.dtype(cfg.dtype)
     param_dtype = jnp.dtype(cfg.param_dtype)
@@ -113,7 +129,8 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             input_channels=cfg.input_channels, hidden=cfg.vit_hidden,
             layers=cfg.vit_layers, heads=cfg.vit_heads, patch=cfg.vit_patch,
             dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
-            remat=cfg.remat, attention_impl=cfg.attention_impl,
+            remat=cfg.remat, gelu=cfg.gelu,
+            attention_impl=_resolve_attention(cfg.attention_impl),
         )
     if cfg.arch == "resnet18_native":
         # TPU-first extension (not in the reference): the 96x9 CQT goes

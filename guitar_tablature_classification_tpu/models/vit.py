@@ -29,6 +29,7 @@ class EncoderBlock(nn.Module):
     ln_eps: float = 1e-12
     dropout: float = 0.0
     attention_impl: str = "xla"  # xla | pallas
+    gelu: str = "auto"  # auto | exact | tanh (see ModelConfig.gelu)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,7 +63,13 @@ class EncoderBlock(nn.Module):
 
         y = ln("ln_after")(x)
         y = dense(self.mlp_dim, "mlp_in")(y)
-        y = nn.gelu(y, approximate=False)
+        # exact erf-GELU for fp32 parity; tanh for bf16 where the ~3e-4
+        # approximation error is below activation resolution and the erf
+        # transcendental costs ~18 ms/step at B=64 (DESIGN.md).
+        approximate = self.gelu == "tanh" or (
+            self.gelu == "auto" and self.dtype == jnp.bfloat16
+        )
+        y = nn.gelu(y, approximate=approximate)
         y = dense(self.hidden, "mlp_out")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return x + y
@@ -84,6 +91,7 @@ class ViTBackbone(nn.Module):
     param_dtype: Dtype = jnp.float32
     remat: bool = False  # jax.checkpoint per encoder block
     attention_impl: str = "xla"  # xla | pallas (fused VMEM-resident KV)
+    gelu: str = "auto"  # auto | exact | tanh (see ModelConfig.gelu)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -121,7 +129,8 @@ class ViTBackbone(nn.Module):
                 self.hidden, self.heads, int(self.hidden * self.mlp_ratio),
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 ln_eps=self.ln_eps, dropout=self.dropout,
-                attention_impl=self.attention_impl, name=f"block{i}",
+                attention_impl=self.attention_impl, gelu=self.gelu,
+                name=f"block{i}",
             )(x, train)
 
         x = nn.LayerNorm(

@@ -1,15 +1,22 @@
-"""Fused multi-head attention Pallas kernel for the ViT backbone.
+"""Fused multi-head attention Pallas kernels (forward + backward).
 
 At ViT-S/8 scale (N = 785 tokens, head_dim 64) the whole K/V of one head
 is ~200 KB — it fits VMEM outright, so the right TPU design is not a
-flash-attention streaming loop but a single fused kernel per (batch*head,
-query-tile): scores, mask, softmax and the value contraction all happen
-on-chip with no [N, N] attention matrix ever touching HBM.
+flash-attention streaming loop but a single fused kernel per (batch,
+query-tile): scores, mask, softmax and the value contraction happen
+on-chip per head with no [N, N] attention matrix ever touching HBM.  The
+XLA alternative (``jax.nn.dot_product_attention``) materializes the
+[B, H, N, N] weights (~950 MB/layer at B=64) in HBM in forward AND in a
+recompute backward — measured as 166 of the 228 ms round-1 ViT train
+step (DESIGN.md round-2 profiling).
 
-grid = (B*H, ceil(N / TQ)); K/V blocks are constant along the query-tile
-axis (fetched once per batch*head).  Sequence lengths that aren't
-tile-aligned are zero-padded by the wrapper and masked with -inf inside
-the kernel.  Numerics match jax.nn.dot_product_attention (tested in
+Layout: the kernels consume ``[B, N, H*Dh]`` — the *natural output of
+the fused QKV projection* — and loop heads over lane slices inside the
+kernel.  (A ``[B*H, N, Dh]`` wrapper spent ~15 ms/step on transposes; a
+``[B, N, H, Dh]`` block layout is rejected by Mosaic's last-two-dims
+tiling rule.)  Sequence lengths that aren't tile-aligned are zero-padded
+and masked with -inf inside the kernel.  Numerics match
+``jax.nn.dot_product_attention`` for values and gradients (tested in
 interpret mode and on hardware).
 """
 
@@ -38,84 +45,173 @@ def fused_attention(
     """q, k, v: [B, N, H, Dh] -> [B, N, H, Dh] (same layout as
     jax.nn.dot_product_attention), scale = Dh**-0.5."""
     b, n, h, dh = q.shape
+    out = _attention_fwd_hd(
+        q.reshape(b, n, h * dh), k.reshape(b, n, h * dh),
+        v.reshape(b, n, h * dh), heads=h, q_tile=q_tile, interpret=interpret,
+    )
+    return out.reshape(b, n, h, dh)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "q_tile", "interpret")
+)
+def _attention_fwd_hd(q, k, v, *, heads, q_tile, interpret):
+    b, n, hd = q.shape
+    dh = hd // heads
     scale = dh ** -0.5
     n_pad = _round_up(n, q_tile)
-
-    def to_bh(x):  # [B, N, H, Dh] -> [B*H, N_pad, Dh]
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
-        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))  # noqa: E731
+    qb, kb, vb = pad(q), pad(k), pad(v)
 
     def kernel(q_ref, k_ref, v_ref, out_ref):
-        qt = q_ref[0].astype(jnp.float32) * scale  # [TQ, Dh]
-        kt = k_ref[0].astype(jnp.float32)  # [N_pad, Dh]
-        scores = jax.lax.dot_general(
-            qt, kt, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [TQ, N_pad]
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < n, scores, -jnp.inf)
-        weights = jax.nn.softmax(scores, axis=-1)
-        out_ref[0] = jax.lax.dot_general(
-            weights, v_ref[0].astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        qt = q_ref[0].astype(jnp.float32) * scale  # [TQ, H*Dh]
+        kt = k_ref[0].astype(jnp.float32)  # [N_pad, H*Dh]
+        vt = v_ref[0].astype(jnp.float32)
+        col = None
+        for hh in range(heads):
+            sl = slice(hh * dh, (hh + 1) * dh)
+            scores = jax.lax.dot_general(
+                qt[:, sl], kt[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TQ, N_pad]
+            if col is None:
+                col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < n, scores, -jnp.inf)
+            weights = jax.nn.softmax(scores, axis=-1)
+            out_ref[0, :, sl] = jax.lax.dot_general(
+                weights, vt[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
 
-    grid = (b * h, n_pad // q_tile)
+    grid = (b, n_pad // q_tile)
+    tile_spec = pl.BlockSpec(
+        (1, q_tile, hd), lambda ib, iq: (ib, iq, 0), memory_space=pltpu.VMEM
+    )
+    full_spec = pl.BlockSpec(
+        (1, n_pad, hd), lambda ib, iq: (ib, 0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, q_tile, dh), lambda bh, iq: (bh, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, dh), lambda bh, iq: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, dh), lambda bh, iq: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, q_tile, dh), lambda bh, iq: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, dh), q.dtype),
+        in_specs=[tile_spec, full_spec, full_spec],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, hd), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n_pad * n_pad * dh,
-            bytes_accessed=4 * b * h * n_pad * dh * q.dtype.itemsize,
-            transcendentals=b * h * n_pad * n_pad,
+            flops=4 * b * heads * n_pad * n_pad * dh,
+            bytes_accessed=4 * b * n_pad * hd * q.dtype.itemsize,
+            transcendentals=b * heads * n_pad * n_pad,
         ),
         interpret=interpret,
     )(qb, kb, vb)
-
-    out = out[:, :n].reshape(b, h, n, dh)
-    return jnp.transpose(out, (0, 2, 1, 3))  # back to [B, N, H, Dh]
+    return out[:, :n]
 
 
 def _fused_attention_fwd(q, k, v, q_tile, interpret):
     return fused_attention(q, k, v, q_tile, interpret), (q, k, v)
 
 
-def _fused_attention_bwd(q_tile, interpret, residuals, g):
-    """Recompute backward in XLA: at N=785 the [N, N] weights of the
-    recomputed forward fit comfortably, so a hand-written Pallas backward
-    buys nothing; the Pallas kernel keeps the *forward* (serving) path
-    free of HBM attention matrices."""
-    del q_tile, interpret
-    q, k, v = residuals
-    dh = q.shape[-1]
+@functools.partial(
+    jax.jit, static_argnames=("heads", "q_tile", "interpret")
+)
+def _attention_bwd_hd(q, k, v, g, *, heads, q_tile, interpret):
+    """Fused attention backward: recompute scores/softmax per (q-tile,
+    head) in VMEM and form dq/dk/dv without any [N, N] matrix in HBM.
+    dk/dv accumulate across q-tiles in their VMEM output blocks (the TPU
+    grid is sequential, so revisiting an output block is a reduction)."""
+    b, n, hd = q.shape
+    dh = hd // heads
     scale = dh ** -0.5
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
+    n_pad = _round_up(n, q_tile)
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))  # noqa: E731
+    qb, kb, vb, gb = pad(q), pad(k), pad(v), pad(g)
+    q_tiles = n_pad // q_tile
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
-    p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    def kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
+        iq = pl.program_id(1)
+
+        @pl.when(iq == 0)
+        def _init():
+            dk_ref[:] = jnp.zeros_like(dk_ref)
+            dv_ref[:] = jnp.zeros_like(dv_ref)
+
+        qt = q_ref[0].astype(jnp.float32)  # [TQ, H*Dh]
+        kt = k_ref[0].astype(jnp.float32)  # [N_pad, H*Dh]
+        vt = v_ref[0].astype(jnp.float32)
+        gt = g_ref[0].astype(jnp.float32)
+        col = None
+        for hh in range(heads):
+            sl = slice(hh * dh, (hh + 1) * dh)
+            qh, kh, vh, gh = qt[:, sl], kt[:, sl], vt[:, sl], gt[:, sl]
+            scores = scale * jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TQ, N_pad]
+            if col is None:
+                col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < n, scores, -jnp.inf)
+            p = jax.nn.softmax(scores, axis=-1)
+            # padded q rows have g == 0, so their ds/dq vanish and they
+            # add nothing to dk/dv — no row mask needed.
+            dv_ref[0, :, sl] += jax.lax.dot_general(  # p^T g  [N_pad, Dh]
+                p, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(  # g v^T  [TQ, N_pad]
+                gh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dq_ref[0, :, sl] = (scale * jax.lax.dot_general(  # ds k
+                ds, kh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )).astype(dq_ref.dtype)
+            dk_ref[0, :, sl] += (scale * jax.lax.dot_general(  # ds^T q
+                ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )).astype(dk_ref.dtype)
+
+    grid = (b, q_tiles)
+    tile_spec = pl.BlockSpec(
+        (1, q_tile, hd), lambda ib, iq: (ib, iq, 0), memory_space=pltpu.VMEM
+    )
+    full_spec = pl.BlockSpec(
+        (1, n_pad, hd), lambda ib, iq: (ib, 0, 0), memory_space=pltpu.VMEM
+    )
+    dqb, dkb, dvb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec, full_spec, full_spec, tile_spec],
+        out_specs=[tile_spec, full_spec, full_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * heads * n_pad * n_pad * dh,
+            bytes_accessed=7 * b * n_pad * hd * 4,
+            transcendentals=b * heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, gb)
+    return dqb[:, :n], dkb[:, :n], dvb[:, :n]
+
+
+def _fused_attention_bwd(q_tile, interpret, residuals, g):
+    q, k, v = residuals
+    b, n, h, dh = q.shape
+    dq, dk, dv = _attention_bwd_hd(
+        q.reshape(b, n, h * dh), k.reshape(b, n, h * dh),
+        v.reshape(b, n, h * dh), g.reshape(b, n, h * dh),
+        heads=h, q_tile=q_tile, interpret=interpret,
+    )
+    return (
+        dq.reshape(b, n, h, dh).astype(q.dtype),
+        dk.reshape(b, n, h, dh).astype(k.dtype),
+        dv.reshape(b, n, h, dh).astype(v.dtype),
+    )
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

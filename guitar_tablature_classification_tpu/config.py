@@ -138,6 +138,14 @@ class ModelConfig:
     # [B, H, N, N] weights in HBM — measured 166 of 228 ms of the ViT
     # train step at B=64 (DESIGN.md round-2 profiling).
     attention_impl: str = "auto"  # auto | xla | pallas
+    # Precomposed ResNet stem front (ops/stem_fusion.py): compute
+    # resize(224)∘tile∘normalize∘conv1 as fused GEMMs straight off the
+    # [96, 9] CQT — exact at fp32, same parameter tree. Default OFF:
+    # measured SLOWER end-to-end on this backend (39.6 vs 31.6 ms/step
+    # at B=256 — the GEMM-produced conv1 output forces XLA layout
+    # conversions that outweigh the saved conv+resize). Kept as a
+    # documented variant; see DESIGN.md round-2 study.
+    stem_fusion: str = "off"  # on | off
     # GELU flavor: the reference's HF ViT uses exact erf-GELU, whose
     # transcendental costs ~18 ms/step at B=64 on the VPU.  The tanh
     # approximation's max abs error (~3e-4) is below bf16 activation

@@ -54,6 +54,27 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
+class _Conv1Kernel(nn.Module):
+    """Declares conv1's kernel with nn.Conv's exact name/shape/init so
+    the fused-front path shares the parameter tree (imports, exports and
+    checkpoints are unchanged)."""
+
+    features: int = 64
+    in_channels: int = 3
+    kernel_size: int = 7
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.in_channels,
+             self.features),
+            self.param_dtype,
+        )
+
+
 class ResNet18(nn.Module):
     """Feature extractor: [B, H, W, C] -> [B, num_features].
 
@@ -71,18 +92,41 @@ class ResNet18(nn.Module):
     # extra FLOPs for O(depth) less activation HBM — the knob for scaling
     # batch size past memory limits.
     remat: bool = False
+    # Precomposed stem front (ops/stem_fusion.py): when set to the recipe
+    # image size and the input is a single-channel non-image feature map,
+    # resize∘tile∘normalize∘conv1 runs as fused GEMMs straight off the
+    # CQT — same parameters, same math (exact at fp32).
+    fused_front: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if x.shape[-1] != self.input_channels:
-            raise ValueError(
-                f"expected {self.input_channels} channels (NHWC), got {x.shape}"
+        if (
+            self.fused_front is not None
+            and x.shape[-1] == 1
+            and x.shape[1:3] != (self.fused_front, self.fused_front)
+        ):
+            from ..ops.stem_fusion import precomposed_conv1
+
+            kernel = _Conv1Kernel(
+                in_channels=self.input_channels,
+                param_dtype=self.param_dtype,
+                name="conv1",
+            )()
+            x = precomposed_conv1(
+                x[..., 0], kernel, out_size=self.fused_front, dtype=self.dtype
             )
-        x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
-        )(x)
+        else:
+            if x.shape[-1] != self.input_channels:
+                raise ValueError(
+                    f"expected {self.input_channels} channels (NHWC), "
+                    f"got {x.shape}"
+                )
+            x = x.astype(self.dtype)
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv1",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",

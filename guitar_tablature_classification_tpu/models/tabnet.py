@@ -34,13 +34,14 @@ class GuitarTabNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    fused_front: int | None = None  # precomposed stem front (see ResNet18)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = ResNet18(
             num_features=256, input_channels=self.input_channels,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            remat=self.remat, name="resnet",
+            remat=self.remat, fused_front=self.fused_front, name="resnet",
         )(x, train=train)
         return StringBranchHeads(
             num_frets=self.num_frets, num_strings=self.num_strings,
@@ -122,6 +123,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
             input_channels=cfg.input_channels, dtype=dtype,
             param_dtype=param_dtype, remat=cfg.remat,
+            fused_front=224 if cfg.stem_fusion != "off" else None,
         )
     if cfg.arch == "vit_s8":
         return ViTTab(

@@ -119,6 +119,15 @@ def make_preprocess(
         x = db_to_unit(feats)
         if arch in ("small_cnn", "resnet18_native"):
             return x[..., None]  # raw [B, 96, T, 1], no resize needed
+        if (
+            arch == "resnet18"
+            and image_size == 224
+            and getattr(model_cfg, "stem_fusion", "off") != "off"
+        ):
+            # Precomposed stem front (ops/stem_fusion.py): the model's
+            # fused conv1 consumes the raw unit CQT; resize/tile/
+            # normalize are folded into its GEMMs (exact at fp32).
+            return x[..., None]
         x = resize_bicubic(x, (image_size, image_size))
         x = tile_channels(x, model_cfg.input_channels)
         if arch == "resnet18":

@@ -414,3 +414,36 @@ def test_torch_export_round_trip_vittab(tmp_path):
         np.testing.assert_allclose(
             flat_a[key], flat_b[key], atol=1e-6, err_msg=key
         )
+
+
+def test_fused_stem_front_matches_materialized_path():
+    """build_model(stem_fusion='auto') must produce the same parameters
+    and (at fp32) the same logits as the materialized resize/tile/
+    normalize/conv1 path — the fusion is exact linear algebra."""
+    from guitar_tablature_classification_tpu.config import ModelConfig
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    feats = jnp.asarray(
+        np.random.default_rng(0).uniform(-120, 0, (2, 96, 9)), jnp.float32
+    )
+    cfg_on = ModelConfig(arch="resnet18", dtype="float32", stem_fusion="on")
+    cfg_off = ModelConfig(arch="resnet18", dtype="float32", stem_fusion="off")
+    m_on, m_off = build_model(cfg_on), build_model(cfg_off)
+    p_on = make_preprocess(cfg_on, image_size=224)
+    p_off = make_preprocess(cfg_off, image_size=224)
+
+    x_on, x_off = p_on(feats), p_off(feats)
+    assert x_on.shape == (2, 96, 9, 1)  # raw CQT into the fused front
+    assert x_off.shape == (2, 224, 224, 3)
+
+    v_on = m_on.init(jax.random.PRNGKey(7), x_on, train=False)
+    v_off = m_off.init(jax.random.PRNGKey(7), x_off, train=False)
+    # identical parameter trees (same names, shapes, init values)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=0), v_on["params"],
+        v_off["params"],
+    )
+    out_on = np.asarray(m_on.apply(v_on, x_on, train=False))
+    out_off = np.asarray(m_off.apply(v_off, x_off, train=False))
+    np.testing.assert_allclose(out_on, out_off, atol=2e-4, rtol=1e-3)

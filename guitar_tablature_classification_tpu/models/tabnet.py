@@ -107,23 +107,24 @@ def _resolve_attention(impl: str) -> str:
     tests instead)."""
     if impl != "auto":
         return impl
-    import jax
+    from ..ops.cqt_pallas import supports_pallas
 
-    try:
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
-    except Exception:
-        return "xla"
+    return "pallas" if supports_pallas() else "xla"
 
 
 def build_model(cfg: ModelConfig) -> nn.Module:
     dtype = jnp.dtype(cfg.dtype)
     param_dtype = jnp.dtype(cfg.param_dtype)
+    if cfg.stem_fusion not in ("on", "off"):
+        raise ValueError(
+            f"stem_fusion must be 'on' or 'off', got {cfg.stem_fusion!r}"
+        )
     if cfg.arch == "resnet18":
         return GuitarTabNet(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
             input_channels=cfg.input_channels, dtype=dtype,
             param_dtype=param_dtype, remat=cfg.remat,
-            fused_front=224 if cfg.stem_fusion != "off" else None,
+            fused_front=224 if cfg.stem_fusion == "on" else None,
         )
     if cfg.arch == "vit_s8":
         return ViTTab(

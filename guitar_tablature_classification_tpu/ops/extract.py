@@ -37,10 +37,12 @@ def process_all_audio(
 
     Naming follows cqt.py:62 (``{base}_segment_{k}.npy``); with
     ``fixture_naming`` it matches the shipped tablatures' scheme
-    (``{base}_segment_0_{start:.2f}.npy``, new_cqt.py:40) so features
-    pair 1:1 with the reference label fixtures.  ``max_segments`` caps
-    total output, budgeted evenly per file (the ``max_images`` semantics
-    of new_cqt.py:46-61).
+    (``{base}_segment_{file_rank}_{start:.2f}.npy``, new_cqt.py:40 —
+    ``file_rank`` is the file's position in sorted processing order,
+    measured over all 43,188 shipped fixtures) so features pair 1:1 by
+    exact filename with the reference label fixtures.  ``max_segments``
+    caps total output, budgeted evenly per file (the ``max_images``
+    semantics of new_cqt.py:46-61).
     """
     from ..data.audio import load_audio
 
@@ -59,7 +61,7 @@ def process_all_audio(
     per_file_budget = (
         max(1, max_segments // len(wavs)) if (max_segments and wavs) else None
     )
-    for wav in wavs:
+    for file_rank, wav in enumerate(wavs):
         audio, _ = load_audio(
             os.path.join(dataset_path, wav), sample_rate=cfg.sample_rate
         )
@@ -72,7 +74,7 @@ def process_all_audio(
         feats = extract_windows(frontend, windows, batch_size=batch_size)
         for k in range(feats.shape[0]):
             if fixture_naming:
-                name = f"{base}_segment_0_{times[k]:.2f}.npy"
+                name = f"{base}_segment_{file_rank}_{times[k]:.2f}.npy"
             else:
                 name = f"{base}_segment_{k}.npy"
             path = os.path.join(save_path, name)

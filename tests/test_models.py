@@ -447,3 +447,32 @@ def test_fused_stem_front_matches_materialized_path():
     out_on = np.asarray(m_on.apply(v_on, x_on, train=False))
     out_off = np.asarray(m_off.apply(v_off, x_off, train=False))
     np.testing.assert_allclose(out_on, out_off, atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_attention_multi_qtile_fwd_and_grads():
+    """n > q_tile exercises the cross-tile dk/dv accumulation path
+    (zero-init at iq==0 + += across revisited VMEM output blocks) that
+    the small-n tests never reach — the production N=785 spans 7 tiles."""
+    from guitar_tablature_classification_tpu.ops.attention_pallas import (
+        fused_attention,
+    )
+
+    rng = np.random.default_rng(11)
+    b, n, h, dh = 1, 300, 2, 64  # 3 q-tiles at q_tile=128
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+        for _ in range(3)
+    )
+    want = jax.nn.dot_product_attention(q, k, v)
+    got = fused_attention(q, k, v, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(jnp.tanh(fn(q, k, v))), argnums=(0, 1, 2)
+        )(q, k, v)
+
+    ga = loss(lambda q, k, v: fused_attention(q, k, v, 128, True))
+    gb = loss(jax.nn.dot_product_attention)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-5)

@@ -5,7 +5,8 @@ the peak-FLOPs figure used for MFU claims) and (b) per-conv-shape
 efficiency, separating "XLA conv is slow at this shape" from "the model
 glues convs together badly".
 
-Usage: python tools/profile_convs.py
+Usage: python tools/profile_convs.py [--extra]
+(--extra adds im2col-GEMM formulations and narrow-N GEMM probes)
 """
 
 import os
@@ -108,10 +109,6 @@ def main():
     timed(conv_s2d, (x, wgt), flops, "conv1 as space-to-depth 4x4 12->64 @112")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def extra():
     """im2col-GEMM conv formulations + narrow-N GEMM penalty probes."""
     rng = np.random.default_rng(0)
@@ -158,5 +155,9 @@ def extra():
         timed(im2col_conv, (x, wgt), flops, f"{label} (B={B})")
 
 
-if __name__ == "__main__":  # appended probe entry
-    extra()
+if __name__ == "__main__":
+    import sys as _sys
+
+    main()
+    if "--extra" in _sys.argv:
+        extra()

@@ -31,7 +31,6 @@ from guitar_tablature_classification_tpu.config import (
     OptimConfig,
 )
 from guitar_tablature_classification_tpu.models import build_model
-from guitar_tablature_classification_tpu.models.resnet import ResNet18
 from guitar_tablature_classification_tpu.ops import CQTFrontend
 from guitar_tablature_classification_tpu.train import (
     create_train_state,
@@ -165,10 +164,7 @@ def main():
         lambda im: stem.apply(stem_vars, im, train=False)
     )(images)
     stem_out = jax.block_until_ready(stem_out)
-    trunk = ResNet18(input_channels=64, stage_sizes=(2, 2, 2, 2))
-    # reuse ResNet18 but skip its stem by feeding 56x56x64 through a
-    # dedicated module: simplest is layers via the full model minus stem —
-    # approximate with stage blocks only:
+    # stage blocks only (the full model minus its stem):
     from guitar_tablature_classification_tpu.models.resnet import BasicBlock
 
     class Trunk(nn.Module):

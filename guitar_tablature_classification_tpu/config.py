@@ -138,14 +138,19 @@ class ModelConfig:
     # [B, H, N, N] weights in HBM — measured 166 of 228 ms of the ViT
     # train step at B=64 (DESIGN.md round-2 profiling).
     attention_impl: str = "auto"  # auto | xla | pallas
-    # Precomposed ResNet stem front (ops/stem_fusion.py): compute
-    # resize(224)∘tile∘normalize∘conv1 as fused GEMMs straight off the
-    # [96, 9] CQT — exact at fp32, same parameter tree. Default OFF:
-    # measured SLOWER end-to-end on this backend (39.6 vs 31.6 ms/step
-    # at B=256 — the GEMM-produced conv1 output forces XLA layout
-    # conversions that outweigh the saved conv+resize). Kept as a
-    # documented variant; see DESIGN.md round-2 study.
-    stem_fusion: str = "off"  # on | off
+    # Fused ResNet stem (ops/stem_fusion.py + ops/stem_pallas.py):
+    #   "on"    — precomposed GEMM front only: resize(224)∘tile∘
+    #             normalize∘conv1 as GEMMs straight off the [96, 9] CQT
+    #             (exact at fp32, same parameter tree).  Measured SLOWER
+    #             end-to-end (39.6 vs 31.6 ms/step at B=256): the
+    #             GEMM-produced conv1 output forces XLA layout
+    #             conversions on the 112² tensors.
+    #   "fused" — GEMM front in quadrant layout + Pallas BN/ReLU/maxpool
+    #             forward+backward kernels: each 112² tensor crosses HBM
+    #             exactly once per direction as bf16, and no XLA op ever
+    #             sees it (which removes the layout-conversion failure
+    #             mode of "on").  See DESIGN.md round-2 study.
+    stem_fusion: str = "off"  # on | off | fused
     # GELU flavor: the reference's HF ViT uses exact erf-GELU, whose
     # transcendental costs ~18 ms/step at B=64 on the VPU.  The tanh
     # approximation's max abs error (~3e-4) is below bf16 activation

@@ -75,6 +75,68 @@ class _Conv1Kernel(nn.Module):
         )
 
 
+class _QuadrantBNReLUPool(nn.Module):
+    """bn1 + ReLU + 3x3/s2 max-pool as the fused stem tail
+    (ops/stem_pallas.py) on quadrant-layout conv1 output.
+
+    Declares the exact variable tree of ``nn.BatchNorm(name='bn1')``
+    (params: scale/bias, batch_stats: mean/var) so checkpoints and torch
+    import/export are unchanged.  Batch statistics, running-average
+    updates (momentum 0.9) and the training-mode BN gradient all match
+    flax semantics: the stat reductions run here under autodiff, and the
+    fused op returns d(mean)/d(var) cotangents so the full
+    batch-stat gradient flows back to the conv output.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    impl: str = "auto"  # pallas | xla | auto (pallas on TPU)
+
+    @nn.compact
+    def __call__(self, yq, train: bool):
+        from ..ops.stem_pallas import bn_relu_pool
+
+        b, _, h2, lanes = yq.shape
+        c = lanes // (2 * h2)
+        scale = self.param(
+            "scale", nn.initializers.ones, (c,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        if train:
+            yf = yq.astype(jnp.float32)
+            n = yf.size // c
+
+            def lane_fold(t):  # chained single-axis sums -> [C]
+                while t.ndim > 1:
+                    t = jnp.sum(t, axis=0)
+                return t.reshape(lanes // c, c).sum(axis=0)
+
+            mean = lane_fold(yf) / n
+            var = lane_fold(yf * yf) / n - mean**2
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return bn_relu_pool(
+            yq, mean, var, scale, bias, self.epsilon, self.impl
+        ).astype(self.dtype)
+
+
 class ResNet18(nn.Module):
     """Feature extractor: [B, H, W, C] -> [B, num_features].
 
@@ -97,14 +159,34 @@ class ResNet18(nn.Module):
     # resize∘tile∘normalize∘conv1 runs as fused GEMMs straight off the
     # CQT — same parameters, same math (exact at fp32).
     fused_front: int | None = None
+    # Fused stem tail (ops/stem_pallas.py): conv1 output in quadrant
+    # layout + one-pass Pallas BN/ReLU/maxpool kernels (fwd and bwd).
+    # Requires fused_front.  Same parameter/batch-stats tree as the
+    # unfused stem.
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if (
+        fuse_stem = (
             self.fused_front is not None
             and x.shape[-1] == 1
             and x.shape[1:3] != (self.fused_front, self.fused_front)
-        ):
+        )
+        if fuse_stem and self.fused_tail:
+            from ..ops.stem_fusion import precomposed_conv1_quadrant
+
+            kernel = _Conv1Kernel(
+                in_channels=self.input_channels,
+                param_dtype=self.param_dtype,
+                name="conv1",
+            )()
+            yq = precomposed_conv1_quadrant(
+                x[..., 0], kernel, out_size=self.fused_front, dtype=self.dtype
+            )
+            x = _QuadrantBNReLUPool(
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn1"
+            )(yq, train)
+        elif fuse_stem:
             from ..ops.stem_fusion import precomposed_conv1
 
             kernel = _Conv1Kernel(
@@ -127,12 +209,15 @@ class ResNet18(nn.Module):
                 use_bias=False, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="conv1",
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
-        )(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if not (fuse_stem and self.fused_tail):
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
+            )(x)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
 
         block_cls = (
             nn.remat(BasicBlock, static_argnums=(2,)) if self.remat

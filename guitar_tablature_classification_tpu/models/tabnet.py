@@ -35,13 +35,15 @@ class GuitarTabNet(nn.Module):
     param_dtype: Dtype = jnp.float32
     remat: bool = False
     fused_front: int | None = None  # precomposed stem front (see ResNet18)
+    fused_tail: bool = False  # Pallas BN/ReLU/pool stem tail (see ResNet18)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = ResNet18(
             num_features=256, input_channels=self.input_channels,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            remat=self.remat, fused_front=self.fused_front, name="resnet",
+            remat=self.remat, fused_front=self.fused_front,
+            fused_tail=self.fused_tail, name="resnet",
         )(x, train=train)
         return StringBranchHeads(
             num_frets=self.num_frets, num_strings=self.num_strings,
@@ -115,16 +117,18 @@ def _resolve_attention(impl: str) -> str:
 def build_model(cfg: ModelConfig) -> nn.Module:
     dtype = jnp.dtype(cfg.dtype)
     param_dtype = jnp.dtype(cfg.param_dtype)
-    if cfg.stem_fusion not in ("on", "off"):
+    if cfg.stem_fusion not in ("on", "off", "fused"):
         raise ValueError(
-            f"stem_fusion must be 'on' or 'off', got {cfg.stem_fusion!r}"
+            "stem_fusion must be 'on', 'off' or 'fused', "
+            f"got {cfg.stem_fusion!r}"
         )
     if cfg.arch == "resnet18":
         return GuitarTabNet(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
             input_channels=cfg.input_channels, dtype=dtype,
             param_dtype=param_dtype, remat=cfg.remat,
-            fused_front=224 if cfg.stem_fusion == "on" else None,
+            fused_front=224 if cfg.stem_fusion != "off" else None,
+            fused_tail=cfg.stem_fusion == "fused",
         )
     if cfg.arch == "vit_s8":
         return ViTTab(

@@ -109,3 +109,69 @@ def precomposed_conv1(
         "bpk,km->bpm", h, s, preferred_element_type=jnp.float32
     ).reshape(b, oh, oh, w.shape[-1])
     return (y + bias).astype(dtype)
+
+
+def precomposed_conv1_quadrant(
+    x: jax.Array,
+    conv1_kernel: jax.Array,
+    *,
+    out_size: int = 224,
+    stride: int = 2,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Same math as :func:`precomposed_conv1`, emitted in the quadrant
+    layout :mod:`.stem_pallas` consumes: ``[B, 2, OH//2, OH*F]`` with
+    ``yq[b, p%2, p//2, (q%2)*(OH//2)*F + (q//2)*F + f] == y[b,p,q,f]``.
+
+    Two differences from the plain variant, both exact at fp32:
+
+    - the static −μ/σ bias field enters as ``k`` extra GEMM rows (the
+      per-row inside-image indicators ``inh[p, :]`` join the patch
+      vector, the per-(q, f) bias factors join the weight matrix), so
+      the GEMM is the *only* pass over the 112² tensor;
+    - the weight matrix's columns and the patch matrix's rows are
+      pre-permuted into even/odd parity order, so the quadrant layout
+      costs nothing.
+
+    Replaces conv1 of bestengine.py:23-24 with preprocessing
+    (my_dataloader.py:17-30) folded in; the output feeds
+    :func:`..ops.stem_pallas.bn_relu_pool`.
+    """
+    b, src_h, src_w = x.shape
+    k = conv1_kernel.shape[0]
+    feats = conv1_kernel.shape[-1]
+    rh, rw, inh, inw = _front_matrices(src_h, src_w, out_size, k, stride)
+    w = conv1_kernel.astype(jnp.float32)
+    inv_std = 1.0 / jnp.asarray(IMAGENET_STD, jnp.float32)
+    mu_std = jnp.asarray(IMAGENET_MEAN, jnp.float32) * inv_std
+    w1 = jnp.einsum("ijcf,c->ijf", w, inv_std)
+    wmu = jnp.einsum("ijcf,c->ijf", w, mu_std)
+
+    oh = out_size // stride
+    if oh % 2:
+        raise ValueError(f"quadrant stem front needs even {oh=}")
+    xf = x.astype(dtype)
+    h = jnp.einsum(
+        "ipu,buv->bpiv", jnp.asarray(rh, dtype), xf,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(b, oh, k * src_w)
+    # bias-as-GEMM rows: patch side carries inh[p, i] (exact 0/1 in any
+    # dtype), weight side carries -Σ_j inw[q,j]·wmu[i,j,f]
+    ha = jnp.concatenate(
+        [h, jnp.broadcast_to(jnp.asarray(inh, dtype), (b, oh, k))], axis=-1
+    )  # [B, OH, k*src_w + k]
+    hq = jnp.stack([ha[:, 0::2], ha[:, 1::2]], axis=1)  # [B, 2, OH/2, K]
+    s3 = jnp.einsum(
+        "ijf,jqv->ivqf", w1.astype(dtype), jnp.asarray(rw, dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(k * src_w, oh, feats)
+    brows = -jnp.einsum(
+        "qj,ijf->iqf", jnp.asarray(inw, jnp.float32), wmu
+    ).astype(dtype)  # [k, OH, F]
+    sall = jnp.concatenate([s3, brows], axis=0)  # [K, OH, F]
+    sq = jnp.concatenate([sall[:, 0::2], sall[:, 1::2]], axis=1).reshape(
+        sall.shape[0], oh * feats
+    )  # columns in (col-parity, q-half, f) order
+    return jnp.einsum(
+        "brhk,kn->brhn", hq, sq, preferred_element_type=jnp.float32
+    ).astype(dtype)

@@ -122,7 +122,7 @@ def make_preprocess(
         if (
             arch == "resnet18"
             and image_size == 224
-            and getattr(model_cfg, "stem_fusion", "off") == "on"
+            and getattr(model_cfg, "stem_fusion", "off") in ("on", "fused")
         ):
             # Precomposed stem front (ops/stem_fusion.py): the model's
             # fused conv1 consumes the raw unit CQT; resize/tile/

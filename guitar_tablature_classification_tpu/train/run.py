@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the first epoch")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise on any NaN produced on device (jax_debug_nans)")
+    p.add_argument("--stem-fusion", default=None,
+                   choices=["off", "on", "fused"],
+                   help="resnet18 stem mode: 'fused' = quadrant GEMM "
+                        "front + Pallas BN/ReLU/pool kernels "
+                        "(ModelConfig.stem_fusion)")
     return p
 
 
@@ -66,8 +71,12 @@ def make_config(args):
     data = cfg.data
     if args.batch_size is not None:
         data = dataclasses.replace(data, batch_size=args.batch_size)
+    model = cfg.model
+    if getattr(args, "stem_fusion", None) is not None:
+        model = dataclasses.replace(model, stem_fusion=args.stem_fusion)
     return dataclasses.replace(
-        cfg, optim=optim, data=data, checkpoint_dir=args.checkpoint_dir
+        cfg, optim=optim, data=data, model=model,
+        checkpoint_dir=args.checkpoint_dir,
     )
 
 

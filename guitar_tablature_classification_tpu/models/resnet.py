@@ -96,7 +96,7 @@ class _QuadrantBNReLUPool(nn.Module):
 
     @nn.compact
     def __call__(self, yq, train: bool):
-        from ..ops.stem_pallas import bn_relu_pool
+        from ..ops.stem_pallas import bn_relu_pool, bn_relu_pool_train
 
         b, _, h2, lanes = yq.shape
         c = lanes // (2 * h2)
@@ -113,16 +113,9 @@ class _QuadrantBNReLUPool(nn.Module):
             "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
         )
         if train:
-            yf = yq.astype(jnp.float32)
-            n = yf.size // c
-
-            def lane_fold(t):  # chained single-axis sums -> [C]
-                while t.ndim > 1:
-                    t = jnp.sum(t, axis=0)
-                return t.reshape(lanes // c, c).sum(axis=0)
-
-            mean = lane_fold(yf) / n
-            var = lane_fold(yf * yf) / n - mean**2
+            pooled, mean, var = bn_relu_pool_train(
+                yq, scale, bias, self.epsilon, self.impl
+            )
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -131,10 +124,11 @@ class _QuadrantBNReLUPool(nn.Module):
                     self.momentum * ra_var.value + (1 - self.momentum) * var
                 )
         else:
-            mean, var = ra_mean.value, ra_var.value
-        return bn_relu_pool(
-            yq, mean, var, scale, bias, self.epsilon, self.impl
-        ).astype(self.dtype)
+            pooled = bn_relu_pool(
+                yq, ra_mean.value, ra_var.value, scale, bias,
+                self.epsilon, self.impl,
+            )
+        return pooled.astype(self.dtype)
 
 
 class ResNet18(nn.Module):

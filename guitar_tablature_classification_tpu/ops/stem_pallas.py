@@ -198,16 +198,34 @@ def _mosaic_roll(x, shift):
 # ---------------------------------------------------------------- pallas
 
 
-@functools.partial(jax.jit, static_argnames=("h2", "c", "interpret"))
-def _fwd_pallas(yq, s_lane, o_lane, *, h2, c, interpret):
+def _pick_bt(b: int, bytes_per_sample: int, budget: int) -> int:
+    """Largest divisor of b whose input block fits the VMEM budget —
+    small tiles pay a fixed per-grid-step cost (measured ~15-20 us:
+    bt=1/2 grids were 5-10x slower than the data movement itself)."""
+    bt = max(1, budget // max(bytes_per_sample, 1))
+    while b % bt:
+        bt -= 1
+    return bt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h2", "c", "interpret", "bt")
+)
+def _fwd_pallas(yq, s_lane, o_lane, *, h2, c, interpret, bt=None):
     b, two, _, l = yq.shape
     hc = h2 * c
-    bt = 2 if b % 2 == 0 else 1
+    if bt is None:
+        bt = _pick_bt(b, 2 * h2 * l * yq.dtype.itemsize, 4 * 2**20)
     roll = _xla_roll if interpret else _mosaic_roll
 
     def kernel(y_ref, s_ref, o_ref, out_ref):
+        # f32-uniform compute: mixing bf16 (16,128)-tiled values with
+        # i32/f32 (8,128)-tiled iotas/sums makes Mosaic insert a
+        # relayout for every mixed op — one cast at entry avoids that
+        # (and lets pltpu.roll run natively, it has no bf16 lowering).
         out_ref[:] = _stem_pool_fwd_core(
-            y_ref[:], s_ref[0], o_ref[0], h2=h2, c=c, roll=roll
+            y_ref[:].astype(jnp.float32), s_ref[0], o_ref[0],
+            h2=h2, c=c, roll=roll,
         ).astype(out_ref.dtype)
 
     return pl.pallas_call(
@@ -231,14 +249,21 @@ def _fwd_pallas(yq, s_lane, o_lane, *, h2, c, interpret):
             * yq.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(yq, s_lane.reshape(1, l), o_lane.reshape(1, l))
 
 
-@functools.partial(jax.jit, static_argnames=("h2", "c", "interpret"))
-def _bwd_pallas(yq, g, s_lane, o_lane, *, h2, c, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("h2", "c", "interpret", "bt")
+)
+def _bwd_pallas(yq, g, s_lane, o_lane, *, h2, c, interpret, bt=None):
     b, two, _, l = yq.shape
     hc = h2 * c
+    if bt is None:
+        bt = _pick_bt(b, 2 * h2 * l * yq.dtype.itemsize, 2 * 2**20)
     roll = _xla_roll if interpret else _mosaic_roll
 
     def kernel(y_ref, g_ref, s_ref, o_ref, dy_ref, sdz_ref, sdzy_ref):
@@ -248,7 +273,8 @@ def _bwd_pallas(yq, g, s_lane, o_lane, *, h2, c, interpret):
             sdzy_ref[:] = jnp.zeros_like(sdzy_ref)
 
         dy, sum_dz, sum_dzy = _stem_pool_bwd_core(
-            y_ref[:], g_ref[:], s_ref[0], o_ref[0], h2=h2, c=c, roll=roll
+            y_ref[:].astype(jnp.float32), g_ref[:].astype(jnp.float32),
+            s_ref[0], o_ref[0], h2=h2, c=c, roll=roll,
         )
         dy_ref[:] = dy.astype(dy_ref.dtype)
         sdz_ref[:] += sum_dz.reshape(1, l)
@@ -256,21 +282,21 @@ def _bwd_pallas(yq, g, s_lane, o_lane, *, h2, c, interpret):
 
     dy, sdz, sdzy = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bt,),
         in_specs=[
             pl.BlockSpec(
-                (1, 2, h2, l), lambda i: (i, 0, 0, 0),
+                (bt, 2, h2, l), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h2, hc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (bt, h2, hc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 2, h2, l), lambda i: (i, 0, 0, 0),
+                (bt, 2, h2, l), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -286,14 +312,151 @@ def _bwd_pallas(yq, g, s_lane, o_lane, *, h2, c, interpret):
             bytes_accessed=2 * b * 2 * h2 * l * yq.dtype.itemsize,
             transcendentals=0,
         ),
-        # the 9-tap working set peaks at ~17 MB — just over the default
-        # 16 MB scoped-vmem limit (v5e has headroom above it)
+        # the 9-tap working set peaks at ~17 MB per sample tile — over
+        # the default 16 MB scoped-vmem limit (v5e has headroom above it)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(yq, g, s_lane.reshape(1, l), o_lane.reshape(1, l))
     return dy, sdz[0], sdzy[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "m_tile"))
+def _gemm_stats_pallas(hq, sq, *, interpret=False, m_tile=256):
+    """Fused stem-front GEMM + BN-stat epilogue.
+
+    hq [M, K] bf16 patches, sq [K, N] bf16 weights -> (y [M, N] bf16,
+    sums [2, N] f32 = per-lane (sum, sum-of-squares) of y).
+
+    XLA runs this K=70 GEMM at ~15 TF/s and needs a separate 1.8 ms
+    pass for the stats; here the f32 accumulator is reduced into the
+    revisited sums block before the bf16 cast, so the stats are free
+    and the GEMM keeps the MXU's K=70/128 utilization ceiling.
+    """
+    m, k = hq.shape
+    n = sq.shape[1]
+
+    def kernel(h_ref, s_ref, y_ref, sums_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            sums_ref[:] = jnp.zeros_like(sums_ref)
+
+        acc = jax.lax.dot_general(
+            h_ref[:], s_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        yb = acc.astype(y_ref.dtype)
+        y_ref[:] = yb
+        # stats on the bf16-rounded values (what downstream consumes)
+        yf = yb.astype(jnp.float32)
+        sums_ref[0, :] += jnp.sum(yf, axis=0)
+        sums_ref[1, :] += jnp.sum(yf * yf, axis=0)
+
+    y, sums = pl.pallas_call(
+        kernel,
+        grid=(m // m_tile,),
+        in_specs=[
+            pl.BlockSpec((m_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((m_tile, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), hq.dtype),
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n + 3 * m * n,
+            bytes_accessed=(m * k + k * n + m * n) * 2 + 8 * n,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(hq, sq)
+    return y, sums
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bt"))
+def _stats_pallas(yq, *, interpret=False, bt=None):
+    """One pass over quadrant-layout y: per-lane (sum, sum of squares)
+    [2, L] f32 — the BatchNorm batch-stat reductions without XLA's
+    separate cast+reduce passes (measured 1.8 ms at B=256 vs ~0.3 ms
+    for the single fused read)."""
+    b, two, h2, l = yq.shape
+    if bt is None:
+        bt = _pick_bt(b, 2 * h2 * l * yq.dtype.itemsize, 8 * 2**20)
+
+    def kernel(y_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        y = y_ref[:].astype(jnp.float32)
+        s1, s2 = y, y * y
+        while s1.ndim > 1:
+            s1 = jnp.sum(s1, axis=0)
+            s2 = jnp.sum(s2, axis=0)
+        out_ref[0, :] += s1
+        out_ref[1, :] += s2
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, 2, h2, l), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, l), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, l), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * 2 * h2 * l,
+            bytes_accessed=b * 2 * h2 * l * yq.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(yq)
+    return out
+
+
+def quadrant_batch_stats(
+    yq: jax.Array, channels: int, impl: str = "auto", interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """(mean, var) [C] over a quadrant-layout conv output — flax
+    BatchNorm ``use_fast_variance`` semantics (E[x²] − E[x]²).
+
+    Primal-only (the pallas kernel has no autodiff rule); the train-mode
+    gradient through batch statistics is produced analytically by
+    :func:`bn_relu_pool_train`'s custom VJP instead.
+    """
+    b, two, h2, l = yq.shape
+    n = yq.size // channels
+    if _resolve_impl(impl) == "pallas":
+        sums = _stats_pallas(yq, interpret=interpret)
+        s1, s2 = sums[0], sums[1]
+    else:
+        yf = yq.astype(jnp.float32)
+        s1, s2 = yf, yf * yf
+        while s1.ndim > 1:
+            s1 = jnp.sum(s1, axis=0)
+            s2 = jnp.sum(s2, axis=0)
+    mean = s1.reshape(l // channels, channels).sum(axis=0) / n
+    mean_sq = s2.reshape(l // channels, channels).sum(axis=0) / n
+    return mean, mean_sq - mean**2
 
 
 # ------------------------------------------------------------------ xla
@@ -401,3 +564,77 @@ def _bn_relu_pool_bwd(eps, impl, interpret, residuals, g):
 
 
 bn_relu_pool.defvjp(_bn_relu_pool_fwd, _bn_relu_pool_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bn_relu_pool_train(
+    yq: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-5,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Training-mode fused stem tail: batch statistics computed inside
+    (one Pallas pass), then ``max_pool(relu(batchnorm(y)))``.
+
+    Returns (pooled [B, H2, H2, C], mean [C], var [C]); mean/var feed
+    the caller's running-average update (non-differentiable state —
+    their cotangents are ignored).  The custom VJP emits the exact
+    batch-statistics BatchNorm gradient:
+
+        dy = se*(dz - mean(dz) - xhat*mean(dz*xhat)),  se = gamma*rstd
+
+    as the kernel's direct term plus one fused per-lane affine
+    correction pass — no differentiable stat reductions needed.
+    """
+    b, two, h2, l = yq.shape
+    c = l // (2 * h2)
+    mean, var = quadrant_batch_stats(yq, c, impl=impl, interpret=interpret)
+    pooled = bn_relu_pool(yq, mean, var, scale, bias, eps, impl, interpret)
+    return pooled, mean, var
+
+
+def _bn_relu_pool_train_fwd(yq, scale, bias, eps, impl, interpret):
+    out = bn_relu_pool_train(yq, scale, bias, eps, impl, interpret)
+    pooled, mean, var = out
+    return out, (yq, mean, var, scale, bias)
+
+
+def _bn_relu_pool_train_bwd(eps, impl, interpret, residuals, cotangents):
+    g, _gmean, _gvar = cotangents  # mean/var feed non-diff state only
+    yq, mean, var, scale, bias = residuals
+    b, two, h2, l = yq.shape
+    c = l // (2 * h2)
+    n = yq.size // c
+    se, oe, rstd, se_c = _lane_affine(mean, var, scale, bias, eps, l)
+    gq = g.reshape(b, h2, h2 * c).astype(yq.dtype)
+    if _resolve_impl(impl) == "pallas":
+        dy_direct, sum_dz, sum_dzy = _bwd_pallas(
+            yq, gq, se, oe, h2=h2, c=c, interpret=interpret
+        )
+    else:
+        dy_direct, sum_dz, sum_dzy = _bwd_xla(yq, gq, se, oe, h2=h2, c=c)
+    d_off = sum_dz.reshape(l // c, c).sum(axis=0)  # sum(dz) [C]
+    d_se = sum_dzy.reshape(l // c, c).sum(axis=0)  # sum(dz*y) [C]
+    mu = mean.astype(jnp.float32)
+    sum_dzxhat = rstd * (d_se - mu * d_off)
+    dscale = sum_dzxhat
+    dbias = d_off
+    # stat-gradient correction: dy += A + B*y with per-channel
+    #   B = -se*rstd*sum_dzxhat/n
+    #   A = -se*sum_dz/n - B*mean
+    bch = -se_c * rstd * sum_dzxhat / n
+    ach = -se_c * d_off / n - bch * mu
+    reps = l // c
+    a_lane = jnp.tile(ach, reps)
+    b_lane = jnp.tile(bch, reps)
+    dy = (
+        dy_direct.astype(jnp.float32)
+        + a_lane
+        + b_lane * yq.astype(jnp.float32)
+    ).astype(yq.dtype)
+    return dy, dscale.astype(scale.dtype), dbias.astype(bias.dtype)
+
+
+bn_relu_pool_train.defvjp(_bn_relu_pool_train_fwd, _bn_relu_pool_train_bwd)

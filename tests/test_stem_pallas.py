@@ -121,6 +121,50 @@ def test_bn_relu_pool_batchstat_gradient_end_to_end():
     )
 
 
+@pytest.mark.parametrize("impl,interpret", [("xla", False), ("pallas", True)])
+def test_bn_relu_pool_train_full_bn_gradient(impl, interpret):
+    """bn_relu_pool_train computes batch stats internally and its VJP
+    must reproduce the exact train-mode BatchNorm gradient (direct +
+    mean/var stat terms) plus matching (mean, var) outputs."""
+    from guitar_tablature_classification_tpu.ops.stem_pallas import (
+        bn_relu_pool_train,
+    )
+
+    rng = np.random.default_rng(6)
+    y, _, _, scale, bias = _rand_case(rng, b=2, h=8, w=8, c=8)
+
+    out, mean, var = bn_relu_pool_train(
+        quadrant_pack(y), scale, bias, EPS, impl, interpret
+    )
+    mean_ref = jnp.mean(y, axis=(0, 1, 2))
+    var_ref = jnp.mean(y * y, axis=(0, 1, 2)) - mean_ref**2
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(_composed_reference(y, mean_ref, var_ref, scale, bias)),
+        atol=1e-5,
+    )
+
+    def loss_fused(y, scale, bias):
+        out, _, _ = bn_relu_pool_train(
+            quadrant_pack(y), scale, bias, EPS, impl, interpret
+        )
+        return jnp.sum(jnp.tanh(out))
+
+    def loss_ref(y, scale, bias):
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.mean(y * y, axis=(0, 1, 2)) - mean**2
+        return jnp.sum(jnp.tanh(_composed_reference(y, mean, var, scale, bias)))
+
+    ga = jax.grad(loss_fused, argnums=(0, 1, 2))(y, scale, bias)
+    gb = jax.grad(loss_ref, argnums=(0, 1, 2))(y, scale, bias)
+    for name, a, b in zip(("y", "scale", "bias"), ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4, err_msg=name
+        )
+
+
 def test_precomposed_quadrant_front_matches_plain():
     from guitar_tablature_classification_tpu.ops.stem_fusion import (
         precomposed_conv1,

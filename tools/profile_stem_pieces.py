@@ -98,6 +98,29 @@ def main():
         (hq, sq), "bare GEMM [28672,70]x[70,7168]",
     )
 
+    # 3b. Pallas GEMM + fused stats epilogue
+    from guitar_tablature_classification_tpu.ops.stem_pallas import (
+        _gemm_stats_pallas,
+    )
+
+    hq2 = hq.reshape(256 * 112, 70)
+
+    def gemm_stats(hq2, sq):
+        y, sums = _gemm_stats_pallas(hq2, sq)
+        return jnp.sum(y.astype(jnp.float32)) * 1e-9 + jnp.sum(sums) * 1e-9
+
+    for mt in (256, 512):
+        try:
+            timed(
+                lambda hq2, sq, mt=mt: (
+                    lambda o: jnp.sum(o[0].astype(jnp.float32)) * 1e-9
+                    + jnp.sum(o[1]) * 1e-9
+                )(_gemm_stats_pallas(hq2, sq, m_tile=mt)),
+                (hq2, sq), f"PALLAS GEMM+stats m_tile={mt}",
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"  GEMM+stats m_tile={mt} failed: {str(e)[:160]}")
+
     # 4. BN stats reductions over yq
     def stats(yq):
         yf = yq.astype(jnp.float32)
@@ -109,22 +132,35 @@ def main():
 
     timed(stats, (yq,), "BN stats reductions (XLA)")
 
-    # 5. K2 forward kernel alone
-    timed(
-        lambda yq: _fwd_pallas(yq, se, oe, h2=H2, c=C, interpret=False),
-        (yq,), "K2 fwd kernel (BN+ReLU+pool)",
-    )
+    # 5. K2 forward kernel alone, batch-tile sweep
+    for bt in (2, 4, 8, 16):
+        try:
+            timed(
+                lambda yq, bt=bt: _fwd_pallas(
+                    yq, se, oe, h2=H2, c=C, interpret=False, bt=bt
+                ),
+                (yq,), f"K2 fwd kernel (BN+ReLU+pool) bt={bt}",
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"  K2 bt={bt} failed: {str(e)[:160]}")
 
-    # 6. K3 backward kernel alone
-    def k3(yq, g):
+    # 6. K3 backward kernel alone, batch-tile sweep
+    def k3(yq, g, bt):
         dy, sdz, sdzy = _bwd_pallas(
-            yq, g, se, oe, h2=H2, c=C, interpret=False
+            yq, g, se, oe, h2=H2, c=C, interpret=False, bt=bt
         )
         return (
             jnp.sum(dy.astype(jnp.float32)) + jnp.sum(sdz) + jnp.sum(sdzy)
         )
 
-    timed(k3, (yq, g), "K3 bwd kernel (pool/relu/BN grads)")
+    for bt in (1, 2, 4):
+        try:
+            timed(
+                lambda yq, g, bt=bt: k3(yq, g, bt), (yq, g),
+                f"K3 bwd kernel (pool/relu/BN grads) bt={bt}",
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"  K3 bt={bt} failed: {str(e)[:160]}")
 
     # 7. full custom op fwd+bwd (fixed stats)
     def op_fwdbwd(yq, g4):

@@ -54,7 +54,10 @@ TIMED_STEPS = 20
 
 def build_pipeline():
     cqt_cfg = CQTConfig()
-    model_cfg = ModelConfig(arch="resnet18")
+    # stem_fusion="fused": precomposed conv1 front + Pallas BN/ReLU/pool
+    # tail (ops/stem_fusion.py + ops/stem_pallas.py) — measured 29.03 vs
+    # 29.97 ms/step unfused at B=256 on v5e (DESIGN.md).
+    model_cfg = ModelConfig(arch="resnet18", stem_fusion="fused")
     frontend = CQTFrontend(cqt_cfg)
     model = build_model(model_cfg)
     preprocess = make_preprocess(model_cfg, image_size=224)

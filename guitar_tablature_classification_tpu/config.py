@@ -151,6 +151,16 @@ class ModelConfig:
     #             sees it (which removes the layout-conversion failure
     #             mode of "on").  See DESIGN.md round-2 study.
     stem_fusion: str = "off"  # on | off | fused
+    # Fused trunk BatchNorms (ops/bn_pallas.py): every ResNet BN's
+    # training-mode stat reductions (fwd mean/var, bwd sum(g)/sum(g·y))
+    # run as single Pallas passes with the train-mode batch-stat
+    # gradient emitted analytically.  Same variable tree as
+    # nn.BatchNorm; eval mode is a plain XLA affine.  Measured 64 %
+    # SLOWER end-to-end at B=256 (47.8 vs 29.1 ms/step): XLA already
+    # schedules the stat reductions inside its fused conv pipeline and
+    # the 40 Pallas call boundaries break that fusion (DESIGN.md).
+    # Kept as a tested variant.
+    bn_fusion: str = "off"  # on | off
     # GELU flavor: the reference's HF ViT uses exact erf-GELU, whose
     # transcendental costs ~18 ms/step at B=64 on the VPU.  The tanh
     # approximation's max abs error (~3e-4) is below bf16 activation

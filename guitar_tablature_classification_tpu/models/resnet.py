@@ -15,10 +15,69 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+class FusedBatchNorm(nn.Module):
+    """Drop-in for ``nn.BatchNorm`` (same params/batch_stats variable
+    tree, momentum-0.9 running averages, fast-variance semantics) whose
+    training-mode statistic reductions run as single Pallas passes with
+    an analytic batch-stat gradient (:func:`..ops.bn_pallas.
+    batch_norm_train`) instead of XLA's separate cast+reduce passes.
+
+    Eval mode is a plain per-channel affine in XLA (running stats are
+    constants — nothing to fuse).
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    impl: str = "auto"  # pallas | xla | auto (pallas on TPU)
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.bn_pallas import batch_norm_train
+
+        c = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (c,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        x = x.astype(self.dtype)
+        if not self.use_running_average:
+            out, mean, var = batch_norm_train(
+                x, scale, bias, self.epsilon, self.impl
+            )
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mul = (
+                jax.lax.rsqrt(ra_var.value + self.epsilon)
+                * scale.astype(jnp.float32)
+            ).astype(x.dtype)
+            out = (x - ra_mean.value.astype(x.dtype)) * mul + bias.astype(
+                x.dtype
+            )
+        return out
 
 
 class BasicBlock(nn.Module):
@@ -28,6 +87,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -35,7 +95,8 @@ class BasicBlock(nn.Module):
             f, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name,
         )
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
+        norm_cls = FusedBatchNorm if self.fused_bn else nn.BatchNorm
+        norm = lambda name: norm_cls(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name,
         )
@@ -158,6 +219,11 @@ class ResNet18(nn.Module):
     # Requires fused_front.  Same parameter/batch-stats tree as the
     # unfused stem.
     fused_tail: bool = False
+    # Fused trunk BatchNorms (ops/bn_pallas.py): single-pass Pallas
+    # stat reductions + analytic train-mode stat gradient for every
+    # trunk BN (and the stem bn1 when the fused tail isn't handling it).
+    # Same variable tree as nn.BatchNorm.
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -204,7 +270,8 @@ class ResNet18(nn.Module):
                 param_dtype=self.param_dtype, name="conv1",
             )(x)
         if not (fuse_stem and self.fused_tail):
-            x = nn.BatchNorm(
+            norm_cls = FusedBatchNorm if self.fused_bn else nn.BatchNorm
+            x = norm_cls(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
             )(x)
@@ -223,7 +290,7 @@ class ResNet18(nn.Module):
                 strides = 2 if stage > 0 and block == 0 else 1
                 x = block_cls(
                     filters, strides, dtype=self.dtype,
-                    param_dtype=self.param_dtype,
+                    param_dtype=self.param_dtype, fused_bn=self.fused_bn,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
 

@@ -36,6 +36,7 @@ class GuitarTabNet(nn.Module):
     remat: bool = False
     fused_front: int | None = None  # precomposed stem front (see ResNet18)
     fused_tail: bool = False  # Pallas BN/ReLU/pool stem tail (see ResNet18)
+    fused_bn: bool = False  # Pallas trunk BatchNorms (see ResNet18)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,7 +44,8 @@ class GuitarTabNet(nn.Module):
             num_features=256, input_channels=self.input_channels,
             dtype=self.dtype, param_dtype=self.param_dtype,
             remat=self.remat, fused_front=self.fused_front,
-            fused_tail=self.fused_tail, name="resnet",
+            fused_tail=self.fused_tail, fused_bn=self.fused_bn,
+            name="resnet",
         )(x, train=train)
         return StringBranchHeads(
             num_frets=self.num_frets, num_strings=self.num_strings,
@@ -122,6 +124,10 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             "stem_fusion must be 'on', 'off' or 'fused', "
             f"got {cfg.stem_fusion!r}"
         )
+    if cfg.bn_fusion not in ("on", "off"):
+        raise ValueError(
+            f"bn_fusion must be 'on' or 'off', got {cfg.bn_fusion!r}"
+        )
     if cfg.arch == "resnet18":
         return GuitarTabNet(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
@@ -129,6 +135,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             param_dtype=param_dtype, remat=cfg.remat,
             fused_front=224 if cfg.stem_fusion != "off" else None,
             fused_tail=cfg.stem_fusion == "fused",
+            fused_bn=cfg.bn_fusion == "on",
         )
     if cfg.arch == "vit_s8":
         return ViTTab(
@@ -146,7 +153,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         return GuitarTabNet(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
             input_channels=1, dtype=dtype, param_dtype=param_dtype,
-            remat=cfg.remat,
+            remat=cfg.remat, fused_bn=cfg.bn_fusion == "on",
         )
     if cfg.arch == "small_cnn":
         return SmallTabCNN(

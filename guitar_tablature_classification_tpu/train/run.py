@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resnet18 stem mode: 'fused' = quadrant GEMM "
                         "front + Pallas BN/ReLU/pool kernels "
                         "(ModelConfig.stem_fusion)")
+    p.add_argument("--bn-fusion", default=None, choices=["off", "on"],
+                   help="resnet trunk BatchNorms as single-pass Pallas "
+                        "stat reductions (ModelConfig.bn_fusion)")
     return p
 
 
@@ -74,6 +77,8 @@ def make_config(args):
     model = cfg.model
     if getattr(args, "stem_fusion", None) is not None:
         model = dataclasses.replace(model, stem_fusion=args.stem_fusion)
+    if getattr(args, "bn_fusion", None) is not None:
+        model = dataclasses.replace(model, bn_fusion=args.bn_fusion)
     return dataclasses.replace(
         cfg, optim=optim, data=data, model=model,
         checkpoint_dir=args.checkpoint_dir,

@@ -42,7 +42,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--variants", nargs="+", default=["off", "fused"])
+    p.add_argument("--variants", nargs="+", default=["off", "fused"],
+                   help="stem_fusion modes, optionally suffixed '+bn' to "
+                        "also enable bn_fusion (e.g. 'fused+bn')")
     args = p.parse_args()
     b = args.batch
 
@@ -56,7 +58,11 @@ def main():
     print(f"device: {jax.devices()}  batch={b}", flush=True)
 
     for variant in args.variants:
-        model_cfg = ModelConfig(arch="resnet18", stem_fusion=variant)
+        stem, _, bn = variant.partition("+")
+        model_cfg = ModelConfig(
+            arch="resnet18", stem_fusion=stem,
+            bn_fusion="on" if bn == "bn" else "off",
+        )
         model = build_model(model_cfg)
         preprocess = make_preprocess(model_cfg, image_size=224)
         state = create_train_state(
@@ -88,12 +94,12 @@ def main():
             float(bar)
             ms = 1e3 * (time.perf_counter() - t0) / args.steps
             print(
-                f"stem_fusion={variant:<6s} {ms:8.2f} ms/step"
+                f"variant={variant:<9s} {ms:8.2f} ms/step"
                 f"  ({b / (ms / 1e3):,.0f} segments/s)",
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001
-            print(f"stem_fusion={variant} FAILED: {str(e)[:300]}", flush=True)
+            print(f"variant={variant} FAILED: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

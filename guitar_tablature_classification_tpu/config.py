@@ -55,6 +55,13 @@ class CQTConfig:
     gate_threshold_db: float = -60.0  # cqt_lim threshold (cqt.py:10-13)
     gate_floor_db: float = -120.0
     amin: float = 1e-5  # librosa amplitude_to_db amin
+    # Frame-GEMM MXU precision.  "highest" = true-fp32 passes, exact
+    # vs the NumPy golden (default).  "default" = single bf16 pass:
+    # measured 1.74x faster CQT at B=1024 with 9/884736 (0.001%) gate
+    # flips and <=0.31 dB error on ungated bins over guitar-like
+    # signals (tools/probe_cqt_precision.py) — a throughput knob for
+    # native-recipe training where the CQT is ~half the step.
+    precision: str = "highest"  # highest | default
     # Analysis windowing of raw audio into model inputs.
     window_seconds: float = 0.2
     hop_seconds: float = 0.1

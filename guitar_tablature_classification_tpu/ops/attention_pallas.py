@@ -34,17 +34,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _auto_q_tile(n: int) -> int:
+    """Largest 128-multiple tile whose f32 score block stays ~<=4 MB:
+    single-tile grids win (bwd 5.2 -> 4.2 ms at ViT-S/8 shapes, probe
+    in tools/probe_attn.py) because the per-grid-step fixed cost and
+    the K/V revisit dominate small tiles."""
+    n_pad = _round_up(n, 128)
+    cap = max(128, (4 * 2**20 // (n_pad * 4)) // 128 * 128)
+    return min(n_pad, cap)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    q_tile: int = 128,
+    q_tile: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """q, k, v: [B, N, H, Dh] -> [B, N, H, Dh] (same layout as
     jax.nn.dot_product_attention), scale = Dh**-0.5."""
     b, n, h, dh = q.shape
+    if q_tile is None:
+        q_tile = _auto_q_tile(n)
     out = _attention_fwd_hd(
         q.reshape(b, n, h * dh), k.reshape(b, n, h * dh),
         v.reshape(b, n, h * dh), heads=h, q_tile=q_tile, interpret=interpret,
@@ -64,23 +76,26 @@ def _attention_fwd_hd(q, k, v, *, heads, q_tile, interpret):
     qb, kb, vb = pad(q), pad(k), pad(v)
 
     def kernel(q_ref, k_ref, v_ref, out_ref):
-        qt = q_ref[0].astype(jnp.float32) * scale  # [TQ, H*Dh]
-        kt = k_ref[0].astype(jnp.float32)  # [N_pad, H*Dh]
-        vt = v_ref[0].astype(jnp.float32)
+        # GEMM operands stay in the input dtype (bf16 on hardware: the
+        # MXU runs bf16 matmuls ~4x faster than f32) with f32
+        # accumulation; only softmax runs in f32.
+        qt = q_ref[0]  # [TQ, H*Dh]
+        kt = k_ref[0]  # [N_pad, H*Dh]
+        vt = v_ref[0]
         col = None
         for hh in range(heads):
             sl = slice(hh * dh, (hh + 1) * dh)
-            scores = jax.lax.dot_general(
+            scores = scale * jax.lax.dot_general(
                 qt[:, sl], kt[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [TQ, N_pad]
+            )  # [TQ, N_pad] f32
             if col is None:
                 col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(col < n, scores, -jnp.inf)
             weights = jax.nn.softmax(scores, axis=-1)
             out_ref[0, :, sl] = jax.lax.dot_general(
-                weights, vt[:, sl],
+                weights.astype(vt.dtype), vt[:, sl],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(out_ref.dtype)
@@ -102,6 +117,11 @@ def _attention_fwd_hd(q, k, v, *, heads, q_tile, interpret):
             flops=4 * b * heads * n_pad * n_pad * dh,
             bytes_accessed=4 * b * n_pad * hd * q.dtype.itemsize,
             transcendentals=b * heads * n_pad * n_pad,
+        ),
+        # single-tile grids (q_tile = n_pad) exceed the default 16 MB
+        # scoped-vmem limit; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(qb, kb, vb)
@@ -136,10 +156,12 @@ def _attention_bwd_hd(q, k, v, g, *, heads, q_tile, interpret):
             dk_ref[:] = jnp.zeros_like(dk_ref)
             dv_ref[:] = jnp.zeros_like(dv_ref)
 
-        qt = q_ref[0].astype(jnp.float32)  # [TQ, H*Dh]
-        kt = k_ref[0].astype(jnp.float32)  # [N_pad, H*Dh]
-        vt = v_ref[0].astype(jnp.float32)
-        gt = g_ref[0].astype(jnp.float32)
+        # GEMM operands stay in the input dtype (bf16 on hardware, ~4x
+        # MXU rate vs f32); softmax and the ds combination run in f32.
+        qt = q_ref[0]  # [TQ, H*Dh]
+        kt = k_ref[0]  # [N_pad, H*Dh]
+        vt = v_ref[0]
+        gt = g_ref[0]
         col = None
         for hh in range(heads):
             sl = slice(hh * dh, (hh + 1) * dh)
@@ -147,15 +169,16 @@ def _attention_bwd_hd(q, k, v, g, *, heads, q_tile, interpret):
             scores = scale * jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [TQ, N_pad]
+            )  # [TQ, N_pad] f32
             if col is None:
                 col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(col < n, scores, -jnp.inf)
             p = jax.nn.softmax(scores, axis=-1)
+            pb = p.astype(qt.dtype)
             # padded q rows have g == 0, so their ds/dq vanish and they
             # add nothing to dk/dv — no row mask needed.
             dv_ref[0, :, sl] += jax.lax.dot_general(  # p^T g  [N_pad, Dh]
-                p, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+                pb, gh, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dv_ref.dtype)
             dp = jax.lax.dot_general(  # g v^T  [TQ, N_pad]
@@ -163,12 +186,13 @@ def _attention_bwd_hd(q, k, v, g, *, heads, q_tile, interpret):
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dsb = ds.astype(qt.dtype)
             dq_ref[0, :, sl] = (scale * jax.lax.dot_general(  # ds k
-                ds, kh, dimension_numbers=(((1,), (0,)), ((), ())),
+                dsb, kh, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )).astype(dq_ref.dtype)
             dk_ref[0, :, sl] += (scale * jax.lax.dot_general(  # ds^T q
-                ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+                dsb, qh, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )).astype(dk_ref.dtype)
 
@@ -194,6 +218,11 @@ def _attention_bwd_hd(q, k, v, g, *, heads, q_tile, interpret):
             bytes_accessed=7 * b * n_pad * hd * 4,
             transcendentals=b * heads * n_pad * n_pad,
         ),
+        # single-tile grids (q_tile = n_pad) exceed the default 16 MB
+        # scoped-vmem limit; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(qb, kb, vb, gb)
     return dqb[:, :n], dkb[:, :n], dvb[:, :n]
@@ -202,6 +231,8 @@ def _attention_bwd_hd(q, k, v, g, *, heads, q_tile, interpret):
 def _fused_attention_bwd(q_tile, interpret, residuals, g):
     q, k, v = residuals
     b, n, h, dh = q.shape
+    if q_tile is None:
+        q_tile = _auto_q_tile(n)
     dq, dk, dv = _attention_bwd_hd(
         q.reshape(b, n, h * dh), k.reshape(b, n, h * dh),
         v.reshape(b, n, h * dh), g.reshape(b, n, h * dh),

@@ -87,7 +87,7 @@ def _cqt_windows_impl(
             n_bins=n_bins, magnitude_power=magnitude_power, amin=amin,
             top_db=top_db, gate_threshold_db=gate_threshold_db,
             gate_floor_db=gate_floor_db, batch_block=block,
-            interpret=interpret,
+            interpret=interpret, precision=precision,
         )[:batch]
     else:
         # Static overlapping slices; XLA folds the views into GEMM reads.
@@ -128,13 +128,18 @@ class CQTFrontend:
         self,
         cfg: CQTConfig | None = None,
         *,
-        precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+        precision: jax.lax.Precision | None = None,
         use_pallas: bool | None = None,
         pallas_interpret: bool = False,
     ):
         self.cfg = cfg or CQTConfig()
         self.filterbank: CQTFilterbank = make_filterbank(self.cfg)
         self.kernels = jnp.asarray(self.filterbank.stacked())  # [K, 2F]
+        if precision is None:  # CQTConfig.precision ("highest"|"default")
+            precision = {
+                "highest": jax.lax.Precision.HIGHEST,
+                "default": jax.lax.Precision.DEFAULT,
+            }[getattr(self.cfg, "precision", "highest")]
         self.precision = precision
         if use_pallas is None:  # auto: Mosaic kernels need a real TPU
             from .cqt_pallas import supports_pallas

@@ -37,7 +37,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("hop_length", "n_frames", "batch_block", "k_tile",
-                     "interpret"),
+                     "interpret", "precision"),
 )
 def cqt_frame_gemm(
     padded: jax.Array,
@@ -48,6 +48,7 @@ def cqt_frame_gemm(
     batch_block: int = 16,
     k_tile: int = 2048,
     interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """padded [B, P] fp32, kernels [Kw, 2F] fp32 -> coefficients
     [B, n_frames, 2F] fp32 (real block | imag block).
@@ -92,7 +93,7 @@ def cqt_frame_gemm(
                 frames, ktile,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # true-fp32 MXU passes
+                precision=precision,  # HIGHEST = true-fp32 MXU passes (default)
             )
 
     grid = (b // batch_block, k_tiles)
@@ -122,6 +123,11 @@ def cqt_frame_gemm(
             ),
             transcendentals=0,
         ),
+        # large batch blocks (audio block + frame stack) exceed the
+        # default 16 MB scoped-vmem limit; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(padded, kernels)
 
@@ -131,7 +137,7 @@ def cqt_frame_gemm(
     static_argnames=(
         "hop_length", "n_frames", "n_bins", "magnitude_power", "amin",
         "top_db", "gate_threshold_db", "gate_floor_db", "batch_block",
-        "k_tile", "interpret",
+        "k_tile", "interpret", "precision",
     ),
 )
 def cqt_fused(
@@ -149,6 +155,7 @@ def cqt_fused(
     batch_block: int = 16,
     k_tile: int = 2048,
     interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """padded [B, P] fp32, kernels [Kw, 2F] -> gated dB features
     [B, n_bins, n_frames] — frames, GEMM and the full cqt.py:55-58
@@ -206,7 +213,7 @@ def cqt_fused(
                 frames, ktile,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
 
         @pl.when(j == k_tiles - 1)
@@ -252,6 +259,11 @@ def cqt_fused(
                 padded.size * 4 + kernels.size * 4 + b * t * f_pad * 4
             ),
             transcendentals=b * t * f_pad,
+        ),
+        # large batch blocks (audio block + frame stack) exceed the
+        # default 16 MB scoped-vmem limit; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(padded, kernels)

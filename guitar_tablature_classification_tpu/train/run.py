@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bn-fusion", default=None, choices=["off", "on"],
                    help="resnet trunk BatchNorms as single-pass Pallas "
                         "stat reductions (ModelConfig.bn_fusion)")
+    p.add_argument("--cqt-precision", default=None,
+                   choices=["highest", "default"],
+                   help="CQT frame-GEMM MXU precision: 'default' is "
+                        "1.74x faster with 0.001%% gate flips "
+                        "(CQTConfig.precision; see DESIGN.md)")
     return p
 
 
@@ -79,8 +84,11 @@ def make_config(args):
         model = dataclasses.replace(model, stem_fusion=args.stem_fusion)
     if getattr(args, "bn_fusion", None) is not None:
         model = dataclasses.replace(model, bn_fusion=args.bn_fusion)
+    cqt = cfg.cqt
+    if getattr(args, "cqt_precision", None) is not None:
+        cqt = dataclasses.replace(cqt, precision=args.cqt_precision)
     return dataclasses.replace(
-        cfg, optim=optim, data=data, model=model,
+        cfg, optim=optim, data=data, model=model, cqt=cqt,
         checkpoint_dir=args.checkpoint_dir,
     )
 

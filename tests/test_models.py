@@ -339,6 +339,44 @@ def test_pallas_attention_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+def test_pallas_attention_bf16_matches_xla():
+    """bf16 operand policy: GEMMs run on bf16 inputs with f32
+    accumulation (softmax/ds in f32), matching
+    jax.nn.dot_product_attention's own bf16 behavior to bf16 tolerance
+    for both values and gradients."""
+    from guitar_tablature_classification_tpu.ops.attention_pallas import (
+        fused_attention,
+    )
+
+    rng = np.random.default_rng(11)
+    b, n, h, dh = 1, 40, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.bfloat16)
+    want = jax.nn.dot_product_attention(q, k, v)
+    got = fused_attention(q, k, v, 128, True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v).astype(
+            jnp.float32) ** 2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, 128, True).astype(
+            jnp.float32) ** 2)
+
+    gw = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gg, gw):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=0.25, rtol=0.1,
+        )
+
+
 def test_resnet18_native_variant():
     from guitar_tablature_classification_tpu.train import make_preprocess
 

@@ -75,14 +75,20 @@ def main():
 
         @jax.jit
         def run(s):
-            def body(s, _):
-                new_s, _ = train_step(
-                    s, {"audio": audio, "labels": labels},
+            # Loss feedback (x 1e-24, numerically a no-op) keeps the
+            # CQT+preprocess INSIDE the scan — a loop-constant audio
+            # batch lets XLA hoist the whole frontend out of the loop.
+            def body(carry, _):
+                s, eps = carry
+                new_s, metrics = train_step(
+                    s, {"audio": audio + eps, "labels": labels},
                     jax.random.PRNGKey(0), 5e-4,
                 )
-                return new_s, None
+                return (new_s, metrics["loss"] * 1e-24), None
 
-            out, _ = jax.lax.scan(body, s, None, length=args.steps)
+            (out, _), _ = jax.lax.scan(
+                body, (s, jnp.zeros(())), None, length=args.steps
+            )
             leaf = jax.tree_util.tree_leaves(out.params)[0]
             return out, jnp.sum(leaf.astype(jnp.float32))
 

@@ -52,9 +52,15 @@ def main():
     p.add_argument("--batches", default="512,1024,2048,4096")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cqt-only", action="store_true")
+    p.add_argument("--cqt-precision", default="highest",
+                   choices=["highest", "default"])
     args = p.parse_args()
 
-    cqt_cfg = CQTConfig()
+    import dataclasses
+
+    cqt_cfg = dataclasses.replace(
+        CQTConfig(), precision=args.cqt_precision
+    )
     frontend = CQTFrontend(cqt_cfg)
     model_cfg = ModelConfig(arch="resnet18_native")
     model = build_model(model_cfg)

@@ -1,0 +1,79 @@
+"""CLI flag -> config plumbing (train/run.py) and perf-knob defaults."""
+
+import jax
+import jax.numpy as jnp
+
+
+def _make(argv):
+    from guitar_tablature_classification_tpu.train.run import (
+        build_parser,
+        make_config,
+    )
+
+    return make_config(build_parser().parse_args(argv))
+
+
+def test_default_flags_leave_config_untouched():
+    cfg = _make(["--synthetic"])
+    assert cfg.model.stem_fusion == "off"
+    assert cfg.model.bn_fusion == "off"
+    assert cfg.cqt.precision == "highest"
+
+
+def test_perf_knob_flags_plumb_through():
+    cfg = _make([
+        "--synthetic", "--arch", "resnet18", "--stem-fusion", "fused",
+        "--bn-fusion", "on", "--cqt-precision", "default",
+    ])
+    assert cfg.model.stem_fusion == "fused"
+    assert cfg.model.bn_fusion == "on"
+    assert cfg.cqt.precision == "default"
+
+
+def test_cqt_precision_maps_to_frontend():
+    import dataclasses
+
+    from guitar_tablature_classification_tpu.config import CQTConfig
+    from guitar_tablature_classification_tpu.ops import CQTFrontend
+
+    fe_hi = CQTFrontend(CQTConfig())
+    assert fe_hi.precision == jax.lax.Precision.HIGHEST
+    fe_lo = CQTFrontend(
+        dataclasses.replace(CQTConfig(), precision="default")
+    )
+    assert fe_lo.precision == jax.lax.Precision.DEFAULT
+    # explicit ctor arg still wins
+    fe_explicit = CQTFrontend(
+        dataclasses.replace(CQTConfig(), precision="default"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    assert fe_explicit.precision == jax.lax.Precision.HIGHEST
+
+
+def test_auto_q_tile():
+    from guitar_tablature_classification_tpu.ops.attention_pallas import (
+        _auto_q_tile,
+    )
+
+    assert _auto_q_tile(785) == 896  # ViT-S/8: one full-sequence tile
+    assert _auto_q_tile(64) == 128
+    assert _auto_q_tile(128) == 128
+    big = _auto_q_tile(16384)  # cap: f32 score block stays ~<=4 MB
+    assert big % 128 == 0
+    assert big * 16384 * 4 <= 4 * 2**20 + 16384 * 4 * 128
+
+
+def test_auto_q_tile_used_by_default_matches_explicit():
+    import numpy as np
+
+    from guitar_tablature_classification_tpu.ops.attention_pallas import (
+        fused_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 30, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 30, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 30, 2, 64)), jnp.float32)
+    a = fused_attention(q, k, v, None, True)
+    b = fused_attention(q, k, v, 128, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -56,12 +56,21 @@ class CQTConfig:
     gate_floor_db: float = -120.0
     amin: float = 1e-5  # librosa amplitude_to_db amin
     # Frame-GEMM MXU precision.  "highest" = true-fp32 passes, exact
-    # vs the NumPy golden (default).  "default" = single bf16 pass:
-    # measured 1.74x faster CQT at B=1024 with 9/884736 (0.001%) gate
-    # flips and <=0.31 dB error on ungated bins over guitar-like
-    # signals (tools/probe_cqt_precision.py) — a throughput knob for
+    # vs the NumPy golden (default).  "bf16x3" = manual 3-pass hi/lo
+    # bf16 split (~fp32 to 16 mantissa bits; Mosaic rejects the HIGH
+    # enum so the middle point is hand-rolled — ops/cqt_pallas.py).
+    # "default" = single bf16 pass: measured 1.74x faster CQT at
+    # B=1024 with 9/884736 (0.001%) gate flips and <=0.31 dB error on
+    # ungated bins over guitar-like signals
+    # (tools/probe_cqt_precision.py) — a throughput knob for
     # native-recipe training where the CQT is ~half the step.
-    precision: str = "highest"  # highest | default
+    precision: str = "highest"  # highest | bf16x3 | default
+    # Pallas kernel rows-per-grid-block.  None = auto: pick the largest
+    # block whose VMEM-resident audio slab stays within budget — large
+    # blocks amortize the filterbank stream (25 MB re-read per block),
+    # which is the exposed bottleneck once the GEMM drops below fp32
+    # (see tools/probe_cqt_block.py).
+    batch_block: int | None = None
     # Analysis windowing of raw audio into model inputs.
     window_seconds: float = 0.2
     hop_seconds: float = 0.1

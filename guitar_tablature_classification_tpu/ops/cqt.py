@@ -44,7 +44,7 @@ def reflect_index(num_samples: int, pad: int) -> np.ndarray:
     static_argnames=(
         "hop_length", "n_bins", "magnitude_power", "amin", "top_db",
         "gate_threshold_db", "gate_floor_db", "precision", "use_pallas",
-        "interpret",
+        "interpret", "batch_block",
     ),
 )
 def _cqt_windows_impl(
@@ -62,6 +62,7 @@ def _cqt_windows_impl(
     precision: Any,
     use_pallas: bool = False,
     interpret: bool = False,
+    batch_block: int | None = None,
 ) -> jax.Array:
     batch, num_samples = x.shape
     kernel_width = kernels.shape[0]
@@ -75,10 +76,21 @@ def _cqt_windows_impl(
     if use_pallas:
         from .cqt_pallas import cqt_fused
 
-        # Batch block sized to the padded window so the (double-buffered)
-        # VMEM-resident audio block stays ~<=4 MB: 16 rows for the 0.2 s
-        # training recipe, 8 for wide serving windows (3 s x 22.05 kHz).
-        block = 16 if padded.shape[1] * 16 * 4 <= 4 * 2**20 else 8
+        # Batch block: the filterbank (~25 MB) is re-streamed from HBM
+        # once per block, so bigger blocks cut bandwidth linearly; the
+        # cap is the VMEM-resident audio slab (rows x padded width x 4 B).
+        # Auto picks the largest power-of-two block with the slab <=8 MB
+        # (64 rows for the 0.2 s training recipe, 8 for wide serving
+        # windows) — measured on hardware in tools/probe_cqt_block.py.
+        if batch_block is not None:
+            block = batch_block
+        else:
+            block = 8
+            while (
+                block < min(64, max(8, batch))  # don't pad tiny batches up
+                and padded.shape[1] * block * 2 * 4 <= 8 * 2**20
+            ):
+                block *= 2
         pad_rows = (-batch) % block
         if pad_rows:
             padded = jnp.pad(padded, ((0, pad_rows), (0, 0)))
@@ -98,10 +110,22 @@ def _cqt_windows_impl(
             ],
             axis=1,
         )  # [B, T, K]
-        coeff = jnp.einsum(
-            "btk,kf->btf", frames, kernels, precision=precision,
-            preferred_element_type=jnp.float32,
-        )  # [B, T, 2F]
+        if precision == "bf16x3":
+            # 3-pass bf16 hi/lo emulation of fp32 (see cqt_pallas._dot_any)
+            from .cqt_pallas import split_bf16
+
+            f_hi, f_lo = split_bf16(frames)
+            k_hi, k_lo = split_bf16(kernels)
+            ein = functools.partial(
+                jnp.einsum, "btk,kf->btf",
+                preferred_element_type=jnp.float32,
+            )
+            coeff = ein(f_hi, k_hi) + ein(f_hi, k_lo) + ein(f_lo, k_hi)
+        else:
+            coeff = jnp.einsum(
+                "btk,kf->btf", frames, kernels, precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # [B, T, 2F]
     re, im = coeff[..., :n_bins], coeff[..., n_bins:]
     mag2 = re * re + im * im
     s = mag2 ** (magnitude_power / 2.0)  # |CQT|**p  (p=4: cqt.py:56)
@@ -135,9 +159,10 @@ class CQTFrontend:
         self.cfg = cfg or CQTConfig()
         self.filterbank: CQTFilterbank = make_filterbank(self.cfg)
         self.kernels = jnp.asarray(self.filterbank.stacked())  # [K, 2F]
-        if precision is None:  # CQTConfig.precision ("highest"|"default")
+        if precision is None:  # CQTConfig.precision
             precision = {
                 "highest": jax.lax.Precision.HIGHEST,
+                "bf16x3": "bf16x3",  # 3-pass hi/lo split (~fp32, 2x rate)
                 "default": jax.lax.Precision.DEFAULT,
             }[getattr(self.cfg, "precision", "highest")]
         self.precision = precision
@@ -191,5 +216,6 @@ class CQTFrontend:
             precision=self.precision,
             use_pallas=self.use_pallas,
             interpret=self.pallas_interpret,
+            batch_block=getattr(cfg, "batch_block", None),
         )
         return out[0] if squeeze else out

@@ -34,6 +34,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def split_bf16(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """fp32 -> (hi, lo) bf16 pair with hi + lo == fp32 to ~16 mantissa
+    bits (hi keeps the top 8, lo the next 8)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_any(frames, ktile, dims, precision, k_split=None):
+    """dot_general with fp32 accumulation at the requested precision.
+
+    precision == "bf16x3" emulates ~fp32 with THREE default-precision bf16
+    MXU passes (hi*hi + hi*lo + lo*hi; the lo*lo term is below 2^-16
+    relative and dropped) — Mosaic rejects lax.Precision.HIGH, so the
+    3-pass middle point between HIGHEST (6 passes) and DEFAULT (1 pass)
+    needs this manual split.  k_split optionally supplies a precomputed
+    (k_hi, k_lo) pair so loop-invariant operands split once.
+    """
+    if precision == "bf16x3":
+        f_hi, f_lo = split_bf16(frames)
+        k_hi, k_lo = k_split if k_split is not None else split_bf16(ktile)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        return d(f_hi, k_hi) + d(f_hi, k_lo) + d(f_lo, k_hi)
+    return jax.lax.dot_general(
+        frames, ktile, dimension_numbers=dims,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("hop_length", "n_frames", "batch_block", "k_tile",
@@ -48,7 +83,7 @@ def cqt_frame_gemm(
     batch_block: int = 16,
     k_tile: int = 2048,
     interpret: bool = False,
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    precision: jax.lax.Precision | str = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """padded [B, P] fp32, kernels [Kw, 2F] fp32 -> coefficients
     [B, n_frames, 2F] fp32 (real block | imag block).
@@ -79,6 +114,7 @@ def cqt_frame_gemm(
             out_ref[:] = jnp.zeros_like(out_ref)
 
         ktile = k_ref[:]  # [KT, 2F]
+        k_split = split_bf16(ktile) if precision == "bf16x3" else None
         base = j * k_tile
         for c in range(0, t, frame_tile):
             tc = min(frame_tile, t - c)
@@ -89,11 +125,10 @@ def cqt_frame_gemm(
                 ],
                 axis=1,
             )  # [BB, tc, KT]
-            out_ref[:, c : c + tc, :] += jax.lax.dot_general(
-                frames, ktile,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,  # HIGHEST = true-fp32 MXU passes (default)
+            out_ref[:, c : c + tc, :] += _dot_any(
+                frames, ktile, (((2,), (0,)), ((), ())),
+                precision,  # HIGHEST = true-fp32 MXU passes (default)
+                k_split=k_split,
             )
 
     grid = (b // batch_block, k_tiles)
@@ -155,7 +190,7 @@ def cqt_fused(
     batch_block: int = 16,
     k_tile: int = 2048,
     interpret: bool = False,
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    precision: jax.lax.Precision | str = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """padded [B, P] fp32, kernels [Kw, 2F] -> gated dB features
     [B, n_bins, n_frames] — frames, GEMM and the full cqt.py:55-58
@@ -200,6 +235,7 @@ def cqt_fused(
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         ktile = k_ref[:]
+        k_split = split_bf16(ktile) if precision == "bf16x3" else None
         for c in range(0, t, frame_tile):
             tc = min(frame_tile, t - c)
             frames = jnp.stack(
@@ -209,11 +245,9 @@ def cqt_fused(
                 ],
                 axis=1,
             )  # [BB, tc, KT]
-            acc_ref[:, c : c + tc, :] += jax.lax.dot_general(
-                frames, ktile,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
+            acc_ref[:, c : c + tc, :] += _dot_any(
+                frames, ktile, (((2,), (0,)), ((), ())),
+                precision, k_split=k_split,
             )
 
         @pl.when(j == k_tiles - 1)

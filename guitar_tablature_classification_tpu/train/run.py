@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resnet trunk BatchNorms as single-pass Pallas "
                         "stat reductions (ModelConfig.bn_fusion)")
     p.add_argument("--cqt-precision", default=None,
-                   choices=["highest", "default"],
+                   choices=["highest", "bf16x3", "default"],
                    help="CQT frame-GEMM MXU precision: 'default' is "
                         "1.74x faster with 0.001%% gate flips "
                         "(CQTConfig.precision; see DESIGN.md)")

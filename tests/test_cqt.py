@@ -252,3 +252,44 @@ def test_pallas_kernel_serving_recipe():
     got = np.asarray(pallas_fe(x))
     boundary = np.abs(want - serving.gate_threshold_db) < 0.5
     np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.02)
+
+
+def test_bf16x3_precision_close_to_highest(cfg):
+    """The 3-pass hi/lo bf16 split ("bf16x3", ops/cqt_pallas._dot_any)
+    must sit much closer to the fp32 golden than the single-pass
+    "default" knob: no gate flips and tiny dB error on these tones,
+    on BOTH the XLA einsum path and the Pallas kernel (interpret)."""
+    import dataclasses
+
+    x = _tone_windows(cfg, [110.0, 196.0, 523.25, 880.0], 8)
+    want = np.asarray(CQTFrontend(cfg, use_pallas=False)(x))
+    gate = cfg.gate_floor_db
+    b3 = dataclasses.replace(cfg, precision="bf16x3")
+    for fe in (
+        CQTFrontend(b3, use_pallas=False),
+        CQTFrontend(b3, use_pallas=True, pallas_interpret=True),
+    ):
+        got = np.asarray(fe(x))
+        assert got.shape == want.shape
+        flips = np.sum((got == gate) != (want == gate))
+        assert flips == 0, f"{flips} gate flips"
+        both = (got != gate) & (want != gate)
+        err = np.max(np.abs(got[both] - want[both]))
+        assert err < 0.05, f"max dB err {err}"
+
+
+def test_pallas_batch_block_override_and_row_padding(cfg):
+    """CQTConfig.batch_block overrides the auto heuristic; batches that
+    don't divide the block are row-padded inside the wrapper and the
+    pad rows stripped — output must match the XLA path regardless."""
+    import dataclasses
+
+    x = _tone_windows(cfg, [246.94, 329.63], 5)  # 5 % 32 != 0
+    want = np.asarray(CQTFrontend(cfg, use_pallas=False)(x))
+    over = dataclasses.replace(cfg, batch_block=32)
+    got = np.asarray(
+        CQTFrontend(over, use_pallas=True, pallas_interpret=True)(x)
+    )
+    assert got.shape == want.shape
+    boundary = np.abs(want - cfg.gate_threshold_db) < 0.5
+    np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.02)

@@ -35,7 +35,15 @@ STEPS = 30
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="256,1024")
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "bf16x3", "default"])
+    p.add_argument("--blocks", default="16,32,64,128")
     args = p.parse_args()
+    precision = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "bf16x3": "bf16x3",
+        "default": jax.lax.Precision.DEFAULT,
+    }[args.precision]
     cfg = CQTConfig()
     frontend = CQTFrontend(cfg)  # reference output (auto path)
     kernels = frontend.kernels
@@ -51,11 +59,11 @@ def main():
         padded = jnp.pad(x, ((0, 0), (pad, pad)))
         t = want.shape[-1]
 
-        for bb in (16, 32, 64, 128):
+        for bb in [int(x) for x in args.blocks.split(",")]:
             if b % bb:
                 continue
             for kt in (2048, 4096):
-                label = f"B={b} bb={bb} kt={kt}"
+                label = f"B={b} bb={bb} kt={kt} prec={args.precision}"
                 try:
                     fn = lambda pa: cqt_fused(  # noqa: E731
                         pa, kernels, hop_length=cfg.hop_length, n_frames=t,
@@ -64,7 +72,7 @@ def main():
                         top_db=cfg.top_db,
                         gate_threshold_db=cfg.gate_threshold_db,
                         gate_floor_db=cfg.gate_floor_db,
-                        batch_block=bb, k_tile=kt,
+                        batch_block=bb, k_tile=kt, precision=precision,
                     )
                     got = np.asarray(fn(padded))
                     exact = np.array_equal(got, want)

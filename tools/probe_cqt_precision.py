@@ -71,9 +71,9 @@ def main():
     results = {}
     for name, prec in (
         ("HIGHEST", jax.lax.Precision.HIGHEST),
-        # Mosaic's dot lowering rejects HIGH (only DEFAULT/HIGHEST);
-        # a 3-pass HIGH needs a manual hi/lo bf16 split — see
-        # ops/cqt_pallas.py if it ever lands.
+        # Mosaic's dot lowering rejects the HIGH enum; "bf16x3" is the
+        # manual 3-pass hi/lo split (ops/cqt_pallas.py:_dot_any).
+        ("BF16X3", "bf16x3"),
         ("DEFAULT", jax.lax.Precision.DEFAULT),
     ):
         try:

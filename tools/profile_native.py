@@ -53,7 +53,7 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cqt-only", action="store_true")
     p.add_argument("--cqt-precision", default="highest",
-                   choices=["highest", "default"])
+                   choices=["highest", "bf16x3", "default"])
     args = p.parse_args()
 
     import dataclasses

@@ -59,7 +59,7 @@ def test_synthetic_training_learns(tmp_path, capsys):
 
 
 @pytest.mark.slow
-def test_synthetic_convergence_gate(capsys):
+def test_synthetic_convergence_gate(capsys, tmp_path):
     """Locked training-quality regression gate (round-1 VERDICT #5): a
     fixed seeded synthetic dataset trained with the flagship native
     recipe must reach a locked test accuracy.  Measured 65.1% on the
@@ -73,6 +73,10 @@ def test_synthetic_convergence_gate(capsys):
             "--epochs", "10",
             "--batch-size", "32",
             "--learning-rate", "0.003",
+            # isolated checkpoint dir: the repo-level default races with
+            # any concurrent training run (observed: concurrent orbax
+            # writers corrupt each other's tmp dirs)
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
         ]
     )
     assert rc == 0

@@ -39,6 +39,27 @@ def reflect_index(num_samples: int, pad: int) -> np.ndarray:
     return np.where(jm >= num_samples, period - jm, jm).astype(np.int32)
 
 
+def auto_batch_block(padded_width: int, batch: int) -> int:
+    """Rows per Pallas grid block for the fused CQT kernel.
+
+    The filterbank (~25 MB for the training recipe) is re-streamed from
+    HBM once per block, so bigger blocks cut that bandwidth linearly;
+    the cap is the VMEM-resident audio slab (rows x padded width x 4 B,
+    double-buffered).  Picks the largest power-of-two block <=64 whose
+    slab stays <=8 MB — 32 rows for the 0.2 s training recipe (hardware
+    sweep optimum: tools/probe_cqt_block.py; 64 is WORSE, VMEM pressure
+    beats the bandwidth save), 8 for wide serving windows (3 s x
+    22.05 kHz) — without padding tiny batches up to the block."""
+    block = 8
+    while (
+        block < min(64, max(8, batch))
+        # double only while the DOUBLED slab still fits the budget
+        and padded_width * (block * 2) * 2 * 4 <= 8 * 2**20
+    ):
+        block *= 2
+    return block
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -76,21 +97,10 @@ def _cqt_windows_impl(
     if use_pallas:
         from .cqt_pallas import cqt_fused
 
-        # Batch block: the filterbank (~25 MB) is re-streamed from HBM
-        # once per block, so bigger blocks cut bandwidth linearly; the
-        # cap is the VMEM-resident audio slab (rows x padded width x 4 B).
-        # Auto picks the largest power-of-two block with the slab <=8 MB
-        # (64 rows for the 0.2 s training recipe, 8 for wide serving
-        # windows) — measured on hardware in tools/probe_cqt_block.py.
-        if batch_block is not None:
-            block = batch_block
-        else:
-            block = 8
-            while (
-                block < min(64, max(8, batch))  # don't pad tiny batches up
-                and padded.shape[1] * block * 2 * 4 <= 8 * 2**20
-            ):
-                block *= 2
+        block = (
+            batch_block if batch_block is not None
+            else auto_batch_block(padded.shape[1], batch)
+        )
         pad_rows = (-batch) % block
         if pad_rows:
             padded = jnp.pad(padded, ((0, pad_rows), (0, 0)))

@@ -293,3 +293,24 @@ def test_pallas_batch_block_override_and_row_padding(cfg):
     assert got.shape == want.shape
     boundary = np.abs(want - cfg.gate_threshold_db) < 0.5
     np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.02)
+
+
+def test_auto_batch_block_choices():
+    """The block heuristic must land on the hardware-measured optima:
+    32 rows for the 0.2 s training recipe, 16 for the wide serving
+    windows, and never pad a tiny batch up to a bigger block."""
+    from guitar_tablature_classification_tpu.ops.cqt import auto_batch_block
+    from guitar_tablature_classification_tpu.ops import make_filterbank
+
+    train = CQTConfig()
+    fb = make_filterbank(train)
+    train_width = train.window_samples + 2 * (fb.kernel_width // 2)
+    assert auto_batch_block(train_width, 1024) == 32
+
+    serving = CQTConfig.serving_cnn()
+    fbs = make_filterbank(serving)
+    serve_width = (
+        int(3.0 * serving.sample_rate) + 2 * (fbs.kernel_width // 2)
+    )
+    assert auto_batch_block(serve_width, 512) == 8  # wide windows
+    assert auto_batch_block(train_width, 4) == 8  # tiny batch: no pad-up

@@ -88,7 +88,11 @@ def measure_native_variant():
         model, preprocess, smoothing=0.05, frontend=frontend
     )
     host_rng = np.random.default_rng(1)
-    num_batches = 2
+    # >=4 distinct batches, matching the flagship loop — dynamic indexing
+    # already defeats loop-invariant hoisting, but after this repo's
+    # measurement-trap history (CLAUDE.md) the skeptic-proof rotation is
+    # the same in both loops.
+    num_batches = 4
     audio = jnp.asarray(
         host_rng.standard_normal(
             (num_batches, NATIVE_BATCH, cqt_cfg.window_samples)

@@ -47,6 +47,7 @@ class Transcriber:
         batch_size: int = 128,
         image_size: int = 224,
         mesh=None,
+        bucket_sizes: tuple[int, ...] | None = None,
     ):
         self.model_cfg = model_cfg or ModelConfig()
         self.cqt_cfg = cqt_cfg or CQTConfig()
@@ -55,6 +56,20 @@ class Transcriber:
         self.preprocess = make_preprocess(self.model_cfg, image_size)
         self.batch_size = batch_size
         self.mesh = mesh
+        # Bucketed batch shapes: a short tail (or a single streaming
+        # window) pads only to the smallest bucket that fits instead of a
+        # full batch — a batch-1 feed stops paying a 128-row forward.
+        # Each bucket compiles once (jit caches by shape).  Under a mesh,
+        # every bucket must divide over the data axis, so buckets are
+        # filtered accordingly (falling back to just batch_size).
+        if bucket_sizes is None:
+            bucket_sizes = (8, 32, batch_size)
+        buckets = sorted({min(int(b), batch_size) for b in bucket_sizes})
+        if mesh is not None:
+            dp = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                              if a == "data"]) or 1)
+            buckets = [b for b in buckets if b % dp == 0] or [batch_size]
+        self.bucket_sizes = tuple(buckets)
         if mesh is not None:
             # Multi-chip serving: replicate params, shard the window batch
             # over the mesh's data axis (batch_size must divide evenly).
@@ -77,24 +92,36 @@ class Transcriber:
 
         self._predict = _predict
 
+    def _bucket_for(self, remaining: int) -> int:
+        # largest bucket the remainder fills completely (no padding) ...
+        for b in reversed(self.bucket_sizes):
+            if remaining >= b:
+                return b
+        # ... else the smallest bucket (minimal padding for the tail)
+        return self.bucket_sizes[0]
+
     def predict_windows(self, windows: np.ndarray) -> np.ndarray:
-        """[N, window_samples] -> [N, 6, 19] logits, fixed-size batches."""
+        """[N, window_samples] -> [N, 6, 19] logits, in fixed bucketed
+        batch shapes (full batches stream at batch_size; the tail pads
+        only to the smallest bucket that fits)."""
         n = windows.shape[0]
-        b = self.batch_size
         outs = []
-        for lo in range(0, n, b):
+        lo = 0
+        while lo < n:
+            b = self._bucket_for(n - lo)
             chunk = windows[lo : lo + b]
-            if chunk.shape[0] < b:  # pad to static shape
-                pad = b - chunk.shape[0]
+            take = chunk.shape[0]
+            if take < b:  # pad to the bucket's static shape
                 chunk = np.concatenate(
-                    [chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)]
+                    [chunk, np.zeros((b - take, chunk.shape[1]), chunk.dtype)]
                 )
             chunk_dev = jnp.asarray(chunk)
             if self.mesh is not None:
                 chunk_dev = jax.device_put(chunk_dev, self._batch_sharding)
             logits = self._predict(self.variables, chunk_dev)
-            outs.append(np.asarray(logits))
-        return np.concatenate(outs)[:n]
+            outs.append(np.asarray(logits)[:take])
+            lo += take
+        return np.concatenate(outs)
 
     def transcribe(
         self,

@@ -140,6 +140,79 @@ class GuitarTablatureExtractor:
                 stats.errors.append(f"{fname}: {exc}")
         return stats
 
+    # -- fixture diff ---------------------------------------------------
+    def diff_against(self, fixtures_dir: str, max_detail: int = 20) -> dict:
+        """Regenerate labels in memory and diff them bit-for-bit against a
+        directory of shipped fixtures (the ``tablatures/`` layout).
+
+        The moment real GuitarSet JAMS exist, this is the one-shot
+        bit-for-bit audit of reference jam_to_tablature.py:55-178 /
+        SURVEY hard part 2: every regenerated ``(6,19)`` array is compared
+        to the same-named fixture, and fixture files never produced by the
+        regeneration are reported as extra.
+        """
+        fixture_names = {
+            f for f in os.listdir(fixtures_dir) if f.endswith(".npy")
+        }
+        files = sorted(
+            f for f in os.listdir(self.jams_dir) if f.endswith(".jams")
+        )
+        report = {
+            "jams_files": len(files),
+            "segments": 0,
+            "matched": 0,
+            "mismatched": 0,
+            "missing_fixture": 0,
+            "extra_fixtures": 0,
+            "detail": [],
+            "errors": [],
+        }
+        seen = set()
+        for file_index, fname in enumerate(files):
+            try:
+                jam = load_jams(os.path.join(self.jams_dir, fname))
+            except Exception as exc:
+                report["errors"].append(f"{fname}: {exc}")
+                continue
+            base = os.path.splitext(fname)[0]
+            for start in self.segment_starts(jam):
+                name = f"{base}_segment_{file_index}_{start:.2f}.npy"
+                report["segments"] += 1
+                seen.add(name)
+                if name not in fixture_names:
+                    report["missing_fixture"] += 1
+                    if len(report["detail"]) < max_detail:
+                        report["detail"].append(f"missing fixture: {name}")
+                    continue
+                want = np.load(os.path.join(fixtures_dir, name))
+                got = self.extract_segment(jam, start)
+                if got.shape == want.shape and np.array_equal(
+                    got, want.astype(got.dtype)
+                ):
+                    report["matched"] += 1
+                else:
+                    report["mismatched"] += 1
+                    if len(report["detail"]) < max_detail:
+                        diff_cells = (
+                            int(np.sum(got != want))
+                            if got.shape == want.shape else -1
+                        )
+                        report["detail"].append(
+                            f"mismatch: {name} ({diff_cells} cells differ)"
+                        )
+        extras = fixture_names - seen
+        report["extra_fixtures"] = len(extras)
+        for name in sorted(extras)[: max(0, max_detail - len(report["detail"]))]:
+            report["detail"].append(f"extra fixture: {name}")
+        report["bit_for_bit"] = (
+            report["mismatched"] == 0
+            and report["missing_fixture"] == 0
+            and report["extra_fixtures"] == 0
+            and not report["errors"]
+            and report["segments"] > 0
+        )
+        return report
+
     # -- validation -----------------------------------------------------
     def validate_tablature_data(
         self, sample_size: int = 100, seed: int = 0
@@ -186,11 +259,29 @@ def main(argv=None) -> int:
                    choices=["per_string_window", "lowest_fret_center"])
     p.add_argument("--window", type=float, default=0.2)
     p.add_argument("--validate", action="store_true")
+    p.add_argument("--diff", metavar="FIXTURES_DIR", default=None,
+                   help="regenerate in memory and diff bit-for-bit against "
+                        "a fixtures directory (e.g. the shipped tablatures/)"
+                        " instead of writing; exit 1 on any divergence")
     args = p.parse_args(argv)
     ex = GuitarTablatureExtractor(
         args.jams_dir, args.output_dir, convention=args.convention,
         window=args.window,
     )
+    if args.diff:
+        report = ex.diff_against(args.diff)
+        print(
+            f"jams={report['jams_files']} segments={report['segments']} "
+            f"matched={report['matched']} mismatched={report['mismatched']} "
+            f"missing={report['missing_fixture']} "
+            f"extra={report['extra_fixtures']} "
+            f"bit_for_bit={report['bit_for_bit']}"
+        )
+        for line in report["detail"]:
+            print(f"  {line}")
+        for err in report["errors"][:10]:
+            print(f"  error: {err}")
+        return 0 if report["bit_for_bit"] else 1
     stats = ex.process_all_files()
     print(
         f"files={stats.processed_files} segments={stats.total_segments} "

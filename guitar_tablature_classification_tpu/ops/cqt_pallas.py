@@ -42,6 +42,16 @@ def split_bf16(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+def _mxu_passes(precision) -> int:
+    """bf16 MXU passes per dot for the cost estimate: HIGHEST emulates
+    fp32 with 6 passes, bf16x3 issues 3, DEFAULT is a single pass."""
+    if precision == "bf16x3":
+        return 3
+    if precision in (jax.lax.Precision.HIGHEST, "highest"):
+        return 6
+    return 1
+
+
 def _dot_any(frames, ktile, dims, precision, k_split=None):
     """dot_general with fp32 accumulation at the requested precision.
 
@@ -152,7 +162,7 @@ def cqt_frame_gemm(
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, two_f), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * kw_pad * two_f,
+            flops=2 * b * t * kw_pad * two_f * _mxu_passes(precision),
             bytes_accessed=(
                 padded.size * 4 + kernels.size * 4 + b * t * two_f * 4
             ),
@@ -288,7 +298,7 @@ def cqt_fused(
         out_shape=jax.ShapeDtypeStruct((b, t, f_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((batch_block, t, 2 * f_pad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * kw_pad * 2 * f_pad,
+            flops=2 * b * t * kw_pad * 2 * f_pad * _mxu_passes(precision),
             bytes_accessed=(
                 padded.size * 4 + kernels.size * 4 + b * t * f_pad * 4
             ),

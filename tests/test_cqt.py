@@ -297,7 +297,7 @@ def test_pallas_batch_block_override_and_row_padding(cfg):
 
 def test_auto_batch_block_choices():
     """The block heuristic must land on the hardware-measured optima:
-    32 rows for the 0.2 s training recipe, 16 for the wide serving
+    32 rows for the 0.2 s training recipe, 8 for the wide serving
     windows, and never pad a tiny batch up to a bigger block."""
     from guitar_tablature_classification_tpu.ops.cqt import auto_batch_block
     from guitar_tablature_classification_tpu.ops import make_filterbank

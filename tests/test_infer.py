@@ -55,6 +55,34 @@ def test_transcribe_shapes_and_batching(transcriber):
     np.testing.assert_allclose(out.logits[:8], single[:8], atol=1e-5)
 
 
+def test_bucketed_batches(transcriber):
+    """predict_windows pads short feeds to the smallest bucket, not a
+    full batch, and bucket choice never changes results (VERDICT r2 #6:
+    a single streaming window must stop paying a full-batch forward)."""
+    model_cfg = ModelConfig(arch="small_cnn", dtype="float32")
+    cfg = transcriber.cqt_cfg
+    t = Transcriber(
+        transcriber.variables, model_cfg=model_cfg, cqt_cfg=cfg,
+        batch_size=16, bucket_sizes=(4, 8, 16),
+    )
+    assert t.bucket_sizes == (4, 8, 16)
+    # greedy: largest fully-filled bucket first, smallest bucket for the tail
+    assert t._bucket_for(21) == 16
+    assert t._bucket_for(5) == 4
+    assert t._bucket_for(3) == 4
+    assert t._bucket_for(1) == 4
+
+    rng = np.random.default_rng(0)
+    windows = rng.standard_normal((21, cfg.window_samples)).astype(np.float32)
+    got = t.predict_windows(windows)
+    assert got.shape == (21, 6, 19)
+    want = transcriber.predict_windows(windows)  # 8-bucket transcriber
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # single window: the device batch is the smallest bucket
+    one = t.predict_windows(windows[:1])
+    np.testing.assert_allclose(one, want[:1], atol=1e-5)
+
+
 def test_format_tablature_text():
     frets = np.zeros((4, 6), int)
     frets[0, 5] = 3   # high e, fret 3 in window 0

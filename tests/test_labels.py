@@ -140,6 +140,56 @@ def test_extractor_end_to_end(tmp_path):
     assert report["with_notes_ratio"] == 1.0
 
 
+def test_diff_tool_detects_divergence(tmp_path):
+    """`tab-extract-labels --diff` (round-2 VERDICT #4): regenerate-and-
+    diff is clean against fixtures the extractor itself wrote, and flags
+    a flipped cell, a deleted fixture and a foreign extra file."""
+    from guitar_tablature_classification_tpu.labels.extractor import (
+        main as extractor_main,
+    )
+
+    jams_dir = tmp_path / "jams"
+    fix_dir = tmp_path / "fixtures"
+    jams_dir.mkdir()
+    for name, notes in [
+        ("track01_comp", [[(0.0, 0.5, 43.0)], [], [], [], [], []]),
+        ("track02_solo", [[], [(0.1, 0.3, 47.0)], [], [], [], []]),
+    ]:
+        (jams_dir / f"{name}.jams").write_text(
+            json.dumps(_jams_dict(notes, duration=0.6))
+        )
+    ex = GuitarTablatureExtractor(str(jams_dir), str(fix_dir))
+    ex.process_all_files()
+
+    # clean regeneration: bit-for-bit, exit code 0
+    report = ex.diff_against(str(fix_dir))
+    assert report["bit_for_bit"] and report["matched"] == 6
+    assert report["mismatched"] == report["missing_fixture"] == 0
+    rc = extractor_main(
+        [str(jams_dir), str(tmp_path / "unused"), "--diff", str(fix_dir)]
+    )
+    assert rc == 0
+
+    # corrupt one fixture, delete another, add a stray file
+    victim = fix_dir / "track01_comp_segment_0_0.00.npy"
+    tab = np.load(victim)
+    tab[3, 7] ^= 1
+    np.save(victim, tab)
+    (fix_dir / "track02_solo_segment_1_0.40.npy").unlink()
+    np.save(fix_dir / "stray_segment_9_0.00.npy", np.zeros((6, 19), np.int8))
+
+    report = ex.diff_against(str(fix_dir))
+    assert not report["bit_for_bit"]
+    assert report["mismatched"] == 1
+    assert report["missing_fixture"] == 1
+    assert report["extra_fixtures"] == 1
+    assert any("track01_comp_segment_0_0.00" in d for d in report["detail"])
+    rc = extractor_main(
+        [str(jams_dir), str(tmp_path / "unused"), "--diff", str(fix_dir)]
+    )
+    assert rc == 1
+
+
 def test_shipped_fixture_statistics_match_convention():
     """Fast spread-sample of the shipped labels: our convention's
     structural invariants hold (exhaustive version below, marked slow)."""

@@ -95,20 +95,31 @@ def main():
         Transcriber,
     )
 
-    transcriber = Transcriber(
-        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=8
+    def stream_feed_ms(transcriber):
+        stream = StreamingTranscriber(transcriber, smooth_window=3)
+        rng_s = np.random.default_rng(1)
+        chunk = rng_s.standard_normal(cqt_cfg.hop_samples).astype(np.float32)
+        for _ in range(8):  # warm: fills window, compiles the padded forward
+            stream.feed(chunk)
+        feeds = []
+        for _ in range(20):
+            t3 = time.perf_counter()
+            stream.feed(chunk)
+            feeds.append(time.perf_counter() - t3)
+        return 1e3 * sorted(feeds)[len(feeds) // 2]
+
+    # production default (batch_size=128): bucketed batches pad a single
+    # streaming window to the 8-bucket, not the full 128 (VERDICT r2 #6)
+    bucketed = Transcriber(
+        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=128
     )
-    stream = StreamingTranscriber(transcriber, smooth_window=3)
-    rng_s = np.random.default_rng(1)
-    chunk = rng_s.standard_normal(cqt_cfg.hop_samples).astype(np.float32)
-    for _ in range(8):  # warm: fills window, compiles the padded forward
-        stream.feed(chunk)
-    feeds = []
-    for _ in range(20):
-        t3 = time.perf_counter()
-        stream.feed(chunk)
-        feeds.append(time.perf_counter() - t3)
-    chunk_ms = 1e3 * sorted(feeds)[len(feeds) // 2]
+    chunk_ms = stream_feed_ms(bucketed)
+    # old behavior for comparison: every feed pads to the full batch
+    fullpad = Transcriber(
+        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=128,
+        bucket_sizes=(128,),
+    )
+    chunk_ms_fullpad = stream_feed_ms(fullpad)
 
     value = BATCH * STEPS / dt
     print(json.dumps({
@@ -122,6 +133,8 @@ def main():
             "batch1_device_ms": round(b1_device_ms, 2),
             "batch1_call_ms_tunnel": round(b1_call_ms, 2),
             "stream_chunk_feed_ms_median": round(chunk_ms, 2),
+            "stream_buckets": list(bucketed.bucket_sizes),
+            "stream_chunk_feed_ms_fullpad128": round(chunk_ms_fullpad, 2),
         },
     }))
 

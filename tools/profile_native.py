@@ -52,14 +52,28 @@ def main():
     p.add_argument("--batches", default="512,1024,2048,4096")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cqt-only", action="store_true")
+    p.add_argument("--mode", default=None,
+                   choices=["full", "cqt", "model", "pipelined"],
+                   help="full = CQT+model in-step (default); cqt / model "
+                        "= that piece alone; pipelined = CQT for batch "
+                        "i+1 issued alongside the model step on batch i "
+                        "(cross-step overlap probe, VERDICT r2 #3)")
     p.add_argument("--cqt-precision", default="highest",
                    choices=["highest", "bf16x3", "default"])
+    p.add_argument("--gemm-split", default="auto",
+                   choices=["auto", "off"],
+                   help="zero-support split CQT kernel (cqt_fused_split)")
     args = p.parse_args()
+    if args.cqt_only:
+        args.mode = "cqt"
+    if args.mode is None:
+        args.mode = "full"
 
     import dataclasses
 
     cqt_cfg = dataclasses.replace(
-        CQTConfig(), precision=args.cqt_precision
+        CQTConfig(), precision=args.cqt_precision,
+        gemm_split=args.gemm_split,
     )
     frontend = CQTFrontend(cqt_cfg)
     model_cfg = ModelConfig(arch="resnet18_native")
@@ -74,7 +88,7 @@ def main():
         )
         labels = jnp.asarray(rng.integers(0, 19, (b, 6)), dtype=jnp.int32)
 
-        if args.cqt_only:
+        if args.mode == "cqt":
             @jax.jit
             def run_cqt(a):
                 def body(c, _):
@@ -88,6 +102,71 @@ def main():
 
             ms = time_scan(run_cqt, audio, args.steps)
             print(f"B={b:<5d} CQT only      {ms:8.2f} ms "
+                  f"({b / (ms / 1e3):,.0f} segments/s)", flush=True)
+            continue
+
+        if args.mode == "model":
+            feats0 = jax.jit(frontend)(audio)
+            state = create_train_state(
+                model, OptimConfig(), jax.random.PRNGKey(0),
+                preprocess(feats0[:1]),
+            )
+            step_feats = make_train_step(model, preprocess, smoothing=0.05)
+
+            @jax.jit
+            def run_model(s):
+                def body(carry, _):
+                    s, eps = carry
+                    new_s, metrics = step_feats(
+                        s, {"features": feats0 + eps, "labels": labels},
+                        jax.random.PRNGKey(0), 5e-4,
+                    )
+                    return (new_s, metrics["loss"] * 1e-24), None
+
+                (out, _), _ = jax.lax.scan(
+                    body, (s, jnp.zeros(())), None, length=args.steps
+                )
+                leaf = jax.tree_util.tree_leaves(out.params)[0]
+                return out, jnp.sum(leaf.astype(jnp.float32))
+
+            ms = time_scan(run_model, state, args.steps)
+            print(f"B={b:<5d} model only    {ms:8.2f} ms "
+                  f"({b / (ms / 1e3):,.0f} segments/s)", flush=True)
+            continue
+
+        if args.mode == "pipelined":
+            # software pipeline: step i trains on features produced in
+            # step i-1 while issuing the frontend for batch i+1 — the
+            # CQT result crosses the scan carry, so the model GEMMs and
+            # the frontend GEMM of the SAME iteration are independent
+            # and the scheduler is free to interleave them.
+            feats0 = jax.jit(frontend)(audio)
+            state = create_train_state(
+                model, OptimConfig(), jax.random.PRNGKey(0),
+                preprocess(feats0[:1]),
+            )
+            step_feats = make_train_step(model, preprocess, smoothing=0.05)
+
+            @jax.jit
+            def run_pipe(s):
+                def body(carry, _):
+                    s, feats, eps = carry
+                    next_feats = frontend(audio + eps)  # batch i+1's CQT
+                    new_s, metrics = step_feats(
+                        s, {"features": feats, "labels": labels},
+                        jax.random.PRNGKey(0), 5e-4,
+                    )
+                    return (new_s, next_feats, metrics["loss"] * 1e-24), None
+
+                (out, _, _), _ = jax.lax.scan(
+                    body, (s, feats0, jnp.zeros(())), None,
+                    length=args.steps,
+                )
+                leaf = jax.tree_util.tree_leaves(out.params)[0]
+                return out, jnp.sum(leaf.astype(jnp.float32))
+
+            ms = time_scan(run_pipe, state, args.steps)
+            print(f"B={b:<5d} pipelined     {ms:8.2f} ms "
                   f"({b / (ms / 1e3):,.0f} segments/s)", flush=True)
             continue
 

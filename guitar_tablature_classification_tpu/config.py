@@ -65,6 +65,14 @@ class CQTConfig:
     # (tools/probe_cqt_precision.py) — a throughput knob for
     # native-recipe training where the CQT is ~half the step.
     precision: str = "highest"  # highest | bf16x3 | default
+    # Zero-support split for the Pallas frame-GEMM (ops/cqt_pallas.py
+    # cqt_fused_split): the upper half of the bins' short centered
+    # kernels get their own single-tile GEMM and k-tiles that only touch
+    # structural zero padding are skipped — ~2.2x less GEMM work for the
+    # 0.2 s recipe, dropping exactly-zero terms only.  "auto" enables it
+    # whenever the geometry allows (pad_mode='constant', <=64 bins per
+    # half); "off" forces the dense kernel (the parity baseline).
+    gemm_split: str = "auto"  # auto | on | off
     # Pallas kernel rows-per-grid-block.  None = auto: pick the largest
     # block whose VMEM-resident audio slab stays within budget — large
     # blocks amortize the filterbank stream (25 MB re-read per block),

@@ -60,12 +60,42 @@ def auto_batch_block(padded_width: int, batch: int) -> int:
     return block
 
 
+def split_geometry(
+    fb: CQTFilterbank, cfg: CQTConfig, num_samples: int
+) -> tuple[int, int, int, int, int] | None:
+    """Static geometry for the zero-support split kernel
+    (:func:`.cqt_pallas.cqt_fused_split`), or None when it doesn't apply:
+    (split_bin, k_b, b_off, data_lo, data_hi).  Requires constant padding
+    (the skipped k-tiles rely on structural zeros) and both column groups
+    fitting a 128-lane block."""
+    if cfg.pad_mode != "constant":
+        return None
+    n_bins = cfg.n_bins
+    split = n_bins // 2
+    if 2 * (n_bins - split) > 128 or 2 * split > 128:
+        return None
+    kw = fb.kernel_width
+    # slab for bins [split:): longest is bin `split` (lengths decrease
+    # with frequency); +2 covers the ceil(l/2)+floor(l/2) support rule
+    k_b = ((int(fb.lengths[split]) + 2 + 511) // 512) * 512
+    if k_b * 4 > kw:  # upper half not meaningfully shorter: no win
+        return None
+    b_off = kw // 2 - k_b // 2
+    if b_off < 0 or b_off % 128:
+        return None
+    t = n_frames_for(num_samples, cfg.hop_length)
+    pad = kw // 2
+    data_lo = max(0, pad - (t - 1) * cfg.hop_length)
+    data_hi = min(kw, pad + num_samples)
+    return (split, k_b, b_off, data_lo, data_hi)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "hop_length", "n_bins", "magnitude_power", "amin", "top_db",
         "gate_threshold_db", "gate_floor_db", "precision", "use_pallas",
-        "interpret", "batch_block",
+        "interpret", "batch_block", "split_geom",
     ),
 )
 def _cqt_windows_impl(
@@ -84,6 +114,7 @@ def _cqt_windows_impl(
     use_pallas: bool = False,
     interpret: bool = False,
     batch_block: int | None = None,
+    split_geom: tuple[int, int, int, int, int] | None = None,
 ) -> jax.Array:
     batch, num_samples = x.shape
     kernel_width = kernels.shape[0]
@@ -95,7 +126,7 @@ def _cqt_windows_impl(
     else:  # pad_mode='reflect' via static gather indices
         padded = jnp.take(x, pad_index, axis=-1)  # [B, W + 2*pad]
     if use_pallas:
-        from .cqt_pallas import cqt_fused
+        from .cqt_pallas import cqt_fused, cqt_fused_split
 
         block = (
             batch_block if batch_block is not None
@@ -104,13 +135,20 @@ def _cqt_windows_impl(
         pad_rows = (-batch) % block
         if pad_rows:
             padded = jnp.pad(padded, ((0, pad_rows), (0, 0)))
-        return cqt_fused(
-            padded, kernels, hop_length=hop_length, n_frames=t,
-            n_bins=n_bins, magnitude_power=magnitude_power, amin=amin,
-            top_db=top_db, gate_threshold_db=gate_threshold_db,
+        common = dict(
+            hop_length=hop_length, n_frames=t, n_bins=n_bins,
+            magnitude_power=magnitude_power, amin=amin, top_db=top_db,
+            gate_threshold_db=gate_threshold_db,
             gate_floor_db=gate_floor_db, batch_block=block,
             interpret=interpret, precision=precision,
-        )[:batch]
+        )
+        if split_geom is not None:
+            split_bin, k_b, b_off, data_lo, data_hi = split_geom
+            return cqt_fused_split(
+                padded, kernels, split_bin=split_bin, k_b=k_b, b_off=b_off,
+                data_lo=data_lo, data_hi=data_hi, **common,
+            )[:batch]
+        return cqt_fused(padded, kernels, **common)[:batch]
     else:
         # Static overlapping slices; XLA folds the views into GEMM reads.
         frames = jnp.stack(
@@ -182,7 +220,9 @@ class CQTFrontend:
             use_pallas = supports_pallas()
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
+        self.gemm_split = getattr(self.cfg, "gemm_split", "auto")
         self._pad_index: dict[int, np.ndarray] = {}
+        self._split_geom: dict[int, tuple | None] = {}
 
     @property
     def n_frames(self) -> int:
@@ -191,6 +231,21 @@ class CQTFrontend:
     def output_shape(self, num_samples: int | None = None) -> tuple[int, int]:
         n = num_samples if num_samples is not None else self.cfg.window_samples
         return (self.cfg.n_bins, n_frames_for(n, self.cfg.hop_length))
+
+    def _split_for(self, num_samples: int) -> tuple | None:
+        """Zero-support split geometry for this window length (cached
+        NumPy-free static tuple; see :func:`split_geometry`)."""
+        if not self.use_pallas or self.gemm_split == "off":
+            return None
+        if num_samples not in self._split_geom:
+            geom = split_geometry(self.filterbank, self.cfg, num_samples)
+            if geom is None and self.gemm_split == "on":
+                raise ValueError(
+                    "CQTConfig.gemm_split='on' but the split geometry "
+                    "does not apply to this recipe"
+                )
+            self._split_geom[num_samples] = geom
+        return self._split_geom[num_samples]
 
     def _index_for(self, num_samples: int) -> np.ndarray | None:
         if self.cfg.pad_mode == "constant":
@@ -227,5 +282,6 @@ class CQTFrontend:
             use_pallas=self.use_pallas,
             interpret=self.pallas_interpret,
             batch_block=getattr(cfg, "batch_block", None),
+            split_geom=self._split_for(x.shape[-1]),
         )
         return out[0] if squeeze else out

@@ -314,6 +314,229 @@ def cqt_fused(
     return jnp.transpose(out[:, :, :n_bins], (0, 2, 1))  # [B, F, T]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "hop_length", "n_frames", "n_bins", "magnitude_power", "amin",
+        "top_db", "gate_threshold_db", "gate_floor_db", "batch_block",
+        "k_tile", "interpret", "precision",
+        "split_bin", "k_b", "b_off", "data_lo", "data_hi",
+    ),
+)
+def cqt_fused_split(
+    padded: jax.Array,
+    kernels: jax.Array,
+    *,
+    hop_length: int,
+    n_frames: int,
+    n_bins: int,
+    magnitude_power: float,
+    amin: float,
+    top_db: float,
+    gate_threshold_db: float,
+    gate_floor_db: float,
+    split_bin: int,
+    k_b: int,
+    b_off: int,
+    data_lo: int,
+    data_hi: int,
+    batch_block: int = 16,
+    k_tile: int = 2048,
+    interpret: bool = False,
+    precision: jax.lax.Precision | str = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """:func:`cqt_fused` exploiting the filterbank's exact-zero structure.
+
+    Two stored-zero families dominate the dense GEMM (~2.2x of its work
+    for the 0.2 s training recipe):
+
+    1. **Kernel support**: bin b's wavelet occupies only ``Q*sr/f_b``
+       centered rows of the [Kw, 2F] slab — the upper half of the bins
+       (``split_bin:``) all fit in a short centered slab of ``k_b`` rows
+       (16x shorter than Kw for the training recipe), so their columns
+       get their own single-tile GEMM (group B) instead of riding the
+       full k-tile loop.
+    2. **Audio padding**: with ``pad_mode='constant'`` every kernel row
+       outside [data_lo, data_hi) multiplies structural zeros for every
+       frame, so the group-A k-tile grid shrinks to the tiles
+       intersecting the real-data span (12 -> 10 tiles at 0.2 s).
+
+    Only terms that are exactly zero are dropped — the math per output
+    coefficient is identical to the dense kernel up to fp32 summation
+    regrouping (HIGHEST-precision parity vs the dense path is asserted in
+    tests/test_cqt.py).  Column groups are re-packed to 128-lane blocks
+    (A = re|im of bins [0, split), B = re|im of [split, n_bins)) and the
+    squared accumulator is re-aligned to bin columns with a 0/1 matmul so
+    every in-kernel slice stays lane-aligned (Mosaic requirement).
+    """
+    b, p = padded.shape
+    kw, two_f = kernels.shape
+    if two_f != 2 * n_bins:
+        raise ValueError(f"kernels last dim {two_f} != 2 * n_bins {n_bins}")
+    if b % batch_block:
+        raise ValueError(f"batch {b} not divisible by block {batch_block}")
+    nb_a = split_bin
+    nb_b = n_bins - split_bin
+    if 2 * nb_a > 128 or 2 * nb_b > 128:
+        raise ValueError(f"split {split_bin} of {n_bins} exceeds 128 lanes")
+    f_pad = _round_up(n_bins, 128)
+
+    # group-A slab: re[0:split] | im[0:split] -> 128 cols, restricted to
+    # the k-tiles that touch real audio rows
+    jlo = data_lo // k_tile
+    jhi = -(-data_hi // k_tile)  # ceil
+    ka = jnp.concatenate(
+        [
+            jnp.pad(kernels[:, :nb_a], ((0, 0), (0, 64 - nb_a)))
+            if nb_a < 64 else kernels[:, :nb_a],
+            jnp.pad(kernels[:, n_bins : n_bins + nb_a],
+                    ((0, 0), (0, 64 - nb_a)))
+            if nb_a < 64 else kernels[:, n_bins : n_bins + nb_a],
+        ],
+        axis=1,
+    )  # [kw, <=128]
+    ka = jnp.pad(ka, ((0, max(0, jhi * k_tile - kw)), (0, 128 - ka.shape[1])))
+    ka = ka[jlo * k_tile : jhi * k_tile]
+    k_tiles = jhi - jlo
+
+    # group-B slab: re[split:] | im[split:] over the centered k_b rows
+    # (re at cols 0:64, im at 64:128 — the layout the S matrix assumes)
+    kb = jnp.concatenate(
+        [
+            jnp.pad(kernels[b_off : b_off + k_b, nb_a : n_bins],
+                    ((0, 0), (0, 64 - nb_b))),
+            jnp.pad(kernels[b_off : b_off + k_b, n_bins + nb_a :],
+                    ((0, 0), (0, 64 - nb_b))),
+        ],
+        axis=1,
+    )  # [k_b, 128]
+
+    # 0/1 re-alignment matrix: (acc^2) @ S sums each bin's re^2 + im^2
+    # into bin-indexed columns of a [.., f_pad] block (lane-aligned).
+    s_np = np.zeros((256, f_pad), np.float32)
+    for c in range(nb_a):
+        s_np[c, c] = 1.0          # A re
+        s_np[64 + c, c] = 1.0     # A im
+    for c in range(nb_b):
+        s_np[128 + c, nb_a + c] = 1.0        # B re
+        s_np[128 + 64 + c, nb_a + c] = 1.0   # B im
+    s_mat = jnp.asarray(s_np)
+
+    need = (n_frames - 1) * hop_length + max(jhi * k_tile, b_off + k_b)
+    if p < need:
+        padded = jnp.pad(padded, ((0, 0), (0, need - p)))
+    t = n_frames
+    frame_tile = min(t, 16)
+    base0 = jlo * k_tile  # static row offset of the restricted A slab
+
+    def kernel(x_ref, ka_ref, kb_ref, s_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        katile = ka_ref[:]
+        ka_split = split_bf16(katile) if precision == "bf16x3" else None
+        for c in range(0, t, frame_tile):
+            tc = min(frame_tile, t - c)
+            frames = jnp.stack(
+                [
+                    x_ref[:, pl.ds(
+                        base0 + j * k_tile + (c + i) * hop_length, k_tile
+                    )]
+                    for i in range(tc)
+                ],
+                axis=1,
+            )  # [BB, tc, KT]
+            acc_ref[:, c : c + tc, 0:128] += _dot_any(
+                frames, katile, (((2,), (0,)), ((), ())),
+                precision, k_split=ka_split,
+            )
+
+        @pl.when(j == 0)
+        def _group_b():
+            kbt = kb_ref[:]
+            kb_split = split_bf16(kbt) if precision == "bf16x3" else None
+            for c in range(0, t, frame_tile):
+                tc = min(frame_tile, t - c)
+                frames_b = jnp.stack(
+                    [
+                        x_ref[:, pl.ds(b_off + (c + i) * hop_length, k_b)]
+                        for i in range(tc)
+                    ],
+                    axis=1,
+                )  # [BB, tc, k_b]
+                acc_ref[:, c : c + tc, 128:256] += _dot_any(
+                    frames_b, kbt, (((2,), (0,)), ((), ())),
+                    precision, k_split=kb_split,
+                )
+
+        @pl.when(j == k_tiles - 1)
+        def _epilogue():
+            sq = acc_ref[:] * acc_ref[:]  # [BB, T, 256]
+            # re-align squared columns to bins: exact 0/1 sums (HIGHEST
+            # keeps the fp32 values intact through the MXU)
+            mag2 = jax.lax.dot_general(
+                sq, s_ref[:], (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [BB, T, f_pad]
+            s = mag2 ** (magnitude_power / 2.0)
+            ref = jnp.max(jnp.max(s, axis=2, keepdims=True), axis=1,
+                          keepdims=True)
+            db = 20.0 * jnp.log10(jnp.maximum(amin, s)) - 20.0 * jnp.log10(
+                jnp.maximum(amin, ref)
+            )
+            db = jnp.maximum(db, -top_db)
+            db = jnp.where(db < gate_threshold_db, gate_floor_db, db)
+            out_ref[:] = db  # [BB, T, F_pad], frames-major
+
+    grid = (b // batch_block, k_tiles)
+    passes = _mxu_passes(precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (batch_block, padded.shape[1]), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_tile, 128), lambda i, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_b, 128), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (256, f_pad), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (batch_block, t, f_pad), lambda i, j: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, f_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((batch_block, t, 256), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * (k_tiles * k_tile + k_b) * 128 * passes,
+            bytes_accessed=(
+                padded.size * 4 + (ka.size + kb.size) * 4
+                + b * t * f_pad * 4
+            ),
+            transcendentals=b * t * f_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(padded, ka, kb, s_mat)
+    return jnp.transpose(out[:, :, :n_bins], (0, 2, 1))  # [B, F, T]
+
+
 def supports_pallas() -> bool:
     """True when running on a real TPU backend (Mosaic lowering)."""
     try:

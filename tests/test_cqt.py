@@ -224,6 +224,64 @@ def test_pallas_kernel_matches_xla_path(cfg):
     assert (got[~boundary] == want[~boundary]).mean() > 0.8
 
 
+def test_split_kernel_matches_dense_kernel(cfg):
+    """The zero-support split kernel (cqt_fused_split) drops only
+    exactly-zero terms: its output matches the dense Pallas kernel to
+    summation-regrouping tolerance with zero gate flips, at every
+    precision, for both recipes."""
+    import dataclasses
+
+    from guitar_tablature_classification_tpu.ops.cqt import split_geometry
+    from guitar_tablature_classification_tpu.ops import make_filterbank
+
+    serving = dataclasses.replace(
+        CQTConfig.serving_cnn(), window_seconds=0.5, hop_seconds=0.25
+    )
+    for recipe in (cfg, serving):
+        fb = make_filterbank(recipe)
+        geom = split_geometry(fb, recipe, recipe.window_samples)
+        assert geom is not None
+        split_bin, k_b, b_off, data_lo, data_hi = geom
+        assert split_bin == recipe.n_bins // 2
+        assert k_b * 4 <= fb.kernel_width  # the split must actually save
+        assert b_off % 128 == 0 and b_off + k_b <= fb.kernel_width
+        assert 0 <= data_lo < data_hi <= fb.kernel_width
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((8, recipe.window_samples)).astype(np.float32)
+        for prec in ("highest", "bf16x3", "default"):
+            c = dataclasses.replace(recipe, precision=prec)
+            split_fe = CQTFrontend(c, use_pallas=True, pallas_interpret=True)
+            dense_fe = CQTFrontend(
+                dataclasses.replace(c, gemm_split="off"),
+                use_pallas=True, pallas_interpret=True,
+            )
+            got = np.asarray(split_fe(x))
+            want = np.asarray(dense_fe(x))
+            assert np.sum((got == c.gate_floor_db) != (want == c.gate_floor_db)) == 0
+            np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_split_geometry_gating():
+    """gemm_split='on' raises when the geometry can't apply; reflect
+    padding disables the split (skipped k-tiles rely on structural
+    zeros)."""
+    import dataclasses
+
+    from guitar_tablature_classification_tpu.ops.cqt import split_geometry
+    from guitar_tablature_classification_tpu.ops import make_filterbank
+
+    reflect = dataclasses.replace(CQTConfig(), pad_mode="reflect")
+    assert split_geometry(
+        make_filterbank(reflect), reflect, reflect.window_samples
+    ) is None
+    fe = CQTFrontend(
+        dataclasses.replace(reflect, gemm_split="on"),
+        use_pallas=True, pallas_interpret=True,
+    )
+    with pytest.raises(ValueError, match="gemm_split"):
+        fe(np.zeros((4, reflect.window_samples), np.float32))
+
+
 def test_cqt_golden_fixture_regression(frontend):
     """Pinned golden arrays: the transform must stay numerically stable
     across framework versions (fixture generated by cqt_reference)."""

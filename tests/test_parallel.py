@@ -96,10 +96,224 @@ def test_model_axis_shards_string_heads():
     )
 
 
+@pytest.mark.parametrize("mp,ndev", [(3, 6), (6, 6)])
+def test_model_axis_3_and_6(mp, ndev):
+    """String-head sharding at model_parallel 3 and 6 (round-2 VERDICT
+    #2): the [6, in, out] stacked head params shard over odd axis sizes
+    too, and the sharded step matches single-device numerically."""
+    cfg = MeshConfig(model_parallel=mp)
+    mesh = make_mesh(cfg, jax.devices()[:ndev])
+    assert mesh.shape == {"data": ndev // mp, "model": mp}
+    model, preprocess, state, batch = _setup(cfg)
+    train_step = make_train_step(model, preprocess)
+    s1, m1 = train_step(state, batch, jax.random.PRNGKey(0), 1e-3)
+
+    model2, preprocess2, state2, _ = _setup(cfg)
+    shardings = param_shardings(mesh, state2, cfg)
+    assert shardings.params["out"]["kernel"].spec == (
+        jax.sharding.PartitionSpec("model")
+    )
+    sharded_state = jax.device_put(state2, shardings)
+    sharded_batch = shard_batch(mesh, batch, cfg)
+    train_step2 = make_train_step(model2, preprocess2)
+    s2, m2 = train_step2(
+        sharded_state, sharded_batch, jax.random.PRNGKey(0), 1e-3
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["out"]["kernel"]),
+        np.asarray(s2.params["out"]["kernel"]),
+        atol=1e-5,
+    )
+    assert s2.params["out"]["kernel"].sharding.spec == (
+        jax.sharding.PartitionSpec("model")
+    )
+
+
 def test_batch_sharding_spec():
     mesh = make_mesh(MeshConfig())
     sh = batch_sharding(mesh)
     assert sh.spec == jax.sharding.PartitionSpec("data")
+
+
+class _ShardedLoader:
+    """Re-iterable loader wrapper that places every batch onto the mesh
+    (data-axis sharded) before yielding it."""
+
+    def __init__(self, batches, mesh, cfg):
+        self.batches = batches
+        self.mesh = mesh
+        self.cfg = cfg
+
+    def __iter__(self):
+        for b in self.batches:
+            yield shard_batch(self.mesh, b, self.cfg)
+
+
+def _audio_batches(num_batches, batch, cqt_cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "audio": rng.standard_normal(
+                (batch, cqt_cfg.window_samples)
+            ).astype(np.float32),
+            "labels": rng.integers(0, 19, (batch, 6)).astype(np.int32),
+            "weights": np.ones((batch, 6), np.float32),
+        }
+        for _ in range(num_batches)
+    ]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dtype,first_rtol,rtol,atol", [
+    # fp32: the FIRST epoch's loss (identical params, before optimizer
+    # feedback) must match tightly — any semantic partitioning bug shows
+    # here.  Later epochs drift ~1e-3: Adam's grad/sqrt(v) step
+    # chaotically amplifies fp32 accumulation-order noise (measured
+    # epoch-1 diff 2e-5 rel, epoch-2 1e-3 rel).
+    ("float32", 2e-4, 2e-2, 1e-2),
+    # bf16 (the shipped bench dtype): reduction regrouping across shards
+    # already drifts the forward; this leg proves the bf16 fast path
+    # executes multi-device and stays in the same orbit.
+    ("bfloat16", 5e-2, 1e-1, 1e-1),
+])
+def test_multidevice_train_model_native_fast_path(
+    tmp_path, dtype, first_rtol, rtol, atol
+):
+    """Round-2 VERDICT #2: the multi-device checks must cover the shipped
+    fast paths.  Full train_model loop — 2 epochs, validation, best-ckpt
+    — with the native bench config (Pallas-path CQT, in interpret mode on
+    CPU) on the 8-device mesh, matching the single-device run."""
+    import jax.numpy as jnp
+
+    from guitar_tablature_classification_tpu.config import (
+        CQTConfig, DataConfig, OptimConfig, TrainConfig,
+    )
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.ops import CQTFrontend
+    from guitar_tablature_classification_tpu.train import (
+        Checkpointer, create_train_state, train_model,
+    )
+    from guitar_tablature_classification_tpu.train.engine import (
+        make_preprocess as mk_pre,
+    )
+
+    cqt_cfg = CQTConfig()
+    cfg = TrainConfig(
+        cqt=cqt_cfg,
+        model=ModelConfig(arch="resnet18_native", dtype=dtype),
+        optim=OptimConfig(epochs=2, learning_rate=1e-3, seed=0),
+        data=DataConfig(batch_size=8),
+    )
+    frontend = CQTFrontend(cqt_cfg, use_pallas=True, pallas_interpret=True)
+    batches = _audio_batches(2, 8, cqt_cfg)
+    preprocess = mk_pre(cfg.model)
+
+    def fresh_state():
+        model = build_model(cfg.model)
+        sample = preprocess(frontend(jnp.asarray(batches[0]["audio"][:1])))
+        return model, create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), sample
+        )
+
+    # single device
+    model1, state1 = fresh_state()
+    best1, hist1 = train_model(
+        batches, batches[:1], cfg, model=model1, state=state1,
+        frontend=frontend, log=lambda s: None,
+    )
+
+    # 8-device mesh (data=4, model=2), params sharded, best-ckpt saved
+    mesh_cfg = MeshConfig(model_parallel=2)
+    mesh = make_mesh(mesh_cfg)
+    model2, state2 = fresh_state()
+    state2 = jax.device_put(state2, param_shardings(mesh, state2, mesh_cfg))
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), "best")
+    best2, hist2 = train_model(
+        _ShardedLoader(batches, mesh, mesh_cfg),
+        _ShardedLoader(batches[:1], mesh, mesh_cfg),
+        cfg, model=model2, state=state2, frontend=frontend,
+        checkpointer=ckpt, log=lambda s: None,
+    )
+
+    assert ckpt.exists()  # best-val checkpoint written from the mesh run
+    np.testing.assert_allclose(
+        hist1["train_loss"][0], hist2["train_loss"][0], rtol=first_rtol
+    )
+    np.testing.assert_allclose(
+        hist1["train_loss"], hist2["train_loss"], rtol=rtol
+    )
+    np.testing.assert_allclose(hist1["val_loss"], hist2["val_loss"], rtol=rtol)
+    a = np.asarray(jax.tree.leaves(best1.params)[-1])
+    b = np.asarray(jax.tree.leaves(best2.params)[-1])
+    np.testing.assert_allclose(a, b, atol=atol)
+
+
+@pytest.mark.slow
+def test_multidevice_fused_stem_step_matches_single_device():
+    """The bench-default flagship config — stem_fusion='fused' (quadrant
+    GEMM front + custom-VJP stem tail, XLA twin on CPU) at bf16/224² —
+    through one train_step + one eval_step on the 8-device mesh vs single
+    device.  Sharding x custom-VJP is exactly where partitioning bugs
+    live (round-2 VERDICT #2)."""
+    import jax.numpy as jnp
+
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.train import (
+        create_train_state, make_eval_step,
+    )
+    from guitar_tablature_classification_tpu.config import OptimConfig
+
+    model_cfg = ModelConfig(arch="resnet18", stem_fusion="fused")  # bf16
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg, 224)
+    rng = np.random.default_rng(0)
+    feats = rng.uniform(-120, 0, (4, 96, 9)).astype(np.float32)
+    batch = {
+        "features": feats,
+        "labels": rng.integers(0, 19, (4, 6)).astype(np.int32),
+        "weights": np.ones((4, 6), np.float32),
+    }
+    state = create_train_state(
+        model, OptimConfig(), jax.random.PRNGKey(0),
+        preprocess(jnp.asarray(feats[:1])),
+    )
+    train_step = make_train_step(model, preprocess)
+    eval_step = make_eval_step(model, preprocess)
+    s1, m1 = train_step(state, batch, jax.random.PRNGKey(0), 5e-4)
+    e1 = eval_step(s1, batch)
+
+    mesh_cfg = MeshConfig(model_parallel=2)
+    mesh = make_mesh(mesh_cfg)
+    model2 = build_model(model_cfg)
+    state2 = create_train_state(
+        model2, OptimConfig(), jax.random.PRNGKey(0),
+        preprocess(jnp.asarray(feats[:1])),
+    )
+    state2 = jax.device_put(state2, param_shardings(mesh, state2, mesh_cfg))
+    sharded_batch = shard_batch(mesh, batch, mesh_cfg)
+    train_step2 = make_train_step(model2, preprocess)
+    eval_step2 = make_eval_step(model2, preprocess)
+    s2, m2 = train_step2(state2, sharded_batch, jax.random.PRNGKey(0), 5e-4)
+    e2 = eval_step2(s2, sharded_batch)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        float(e1["loss"]), float(e2["loss"]), rtol=1e-2
+    )
+    # bf16 near-tie logits can flip an argmax across shardings; with 4
+    # samples one flip moves a string's accuracy by 0.25 — allow one.
+    np.testing.assert_allclose(
+        np.asarray(e1["per_string_accuracy"]),
+        np.asarray(e2["per_string_accuracy"]),
+        atol=0.26,
+    )
+    # conv1 kernel (consumed by the quadrant GEMM front) updated equally
+    k1 = np.asarray(s1.params["resnet"]["conv1"]["kernel"])
+    k2 = np.asarray(s2.params["resnet"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=2e-3)
 
 
 def test_mesh_sharded_serving():

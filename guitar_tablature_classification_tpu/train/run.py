@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CQT frame-GEMM MXU precision: 'default' is "
                         "1.74x faster with 0.001%% gate flips "
                         "(CQTConfig.precision; see DESIGN.md)")
+    p.add_argument("--cqt-split", default=None,
+                   choices=["auto", "off"],
+                   help="zero-support split CQT kernel: ~1.4x faster "
+                        "frontend dropping exactly-zero GEMM terms only "
+                        "(CQTConfig.gemm_split; see DESIGN.md)")
     return p
 
 
@@ -87,6 +92,8 @@ def make_config(args):
     cqt = cfg.cqt
     if getattr(args, "cqt_precision", None) is not None:
         cqt = dataclasses.replace(cqt, precision=args.cqt_precision)
+    if getattr(args, "cqt_split", None) is not None:
+        cqt = dataclasses.replace(cqt, gemm_split=args.cqt_split)
     return dataclasses.replace(
         cfg, optim=optim, data=data, model=model, cqt=cqt,
         checkpoint_dir=args.checkpoint_dir,

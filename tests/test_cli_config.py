@@ -24,10 +24,17 @@ def test_perf_knob_flags_plumb_through():
     cfg = _make([
         "--synthetic", "--arch", "resnet18", "--stem-fusion", "fused",
         "--bn-fusion", "on", "--cqt-precision", "default",
+        "--cqt-split", "off",
     ])
     assert cfg.model.stem_fusion == "fused"
     assert cfg.model.bn_fusion == "on"
     assert cfg.cqt.precision == "default"
+    assert cfg.cqt.gemm_split == "off"
+
+
+def test_cqt_split_default_is_auto():
+    cfg = _make(["--synthetic"])
+    assert cfg.cqt.gemm_split == "auto"
 
 
 def test_cqt_precision_maps_to_frontend():

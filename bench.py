@@ -103,24 +103,28 @@ def measure_native_variant():
         dtype=jnp.int32,
     )
 
-    def one_step(state, i):
-        batch = {"audio": audio[i % num_batches],
-                 "labels": labels[i % num_batches]}
-        new_state, metrics = train_step(
-            state, batch, jax.random.PRNGKey(0), 5e-4
-        )
-        return new_state, metrics["loss"]
-
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(1,))
-    def run(state, steps):
+    # audio/labels are explicit jit ARGUMENTS, not closure captures: a
+    # captured device array is embedded in the HLO as a constant, and 4
+    # rotating batches at B=2048 (~290 MB) exceed the axon remote-compile
+    # request limit (observed HTTP 413).
+    @partial(jax.jit, static_argnums=(3,))
+    def run(state, audio, labels, steps):
+        def one_step(state, i):
+            batch = {"audio": audio[i % num_batches],
+                     "labels": labels[i % num_batches]}
+            new_state, metrics = train_step(
+                state, batch, jax.random.PRNGKey(0), 5e-4
+            )
+            return new_state, metrics["loss"]
+
         return jax.lax.scan(one_step, state, jnp.arange(steps))
 
-    state, warm_losses = run(state, TIMED_STEPS)
+    state, warm_losses = run(state, audio, labels, TIMED_STEPS)
     float(warm_losses[-1])
     t0 = time.perf_counter()
-    state, losses = run(state, TIMED_STEPS)
+    state, losses = run(state, audio, labels, TIMED_STEPS)
     float(losses[-1])
     elapsed = time.perf_counter() - t0
     return {
@@ -157,23 +161,27 @@ def main():
         host_rng.integers(0, 19, (num_batches, BATCH, 6)), dtype=jnp.int32
     )
 
-    def one_step(state, i):
-        batch = {"audio": audio[i % num_batches], "labels": labels[i % num_batches]}
-        new_state, metrics = train_step(state, batch, jax.random.PRNGKey(0), 5e-4)
-        return new_state, metrics["loss"]
-
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(1,))
-    def run(state, steps):
+    # data as jit arguments, not closure constants (see measure_native_variant)
+    @partial(jax.jit, static_argnums=(3,))
+    def run(state, audio, labels, steps):
+        def one_step(state, i):
+            batch = {"audio": audio[i % num_batches],
+                     "labels": labels[i % num_batches]}
+            new_state, metrics = train_step(
+                state, batch, jax.random.PRNGKey(0), 5e-4
+            )
+            return new_state, metrics["loss"]
+
         return jax.lax.scan(one_step, state, jnp.arange(steps))
 
     # Warmup = same scan length as the timed run -> exactly one compile.
-    state, warm_losses = run(state, TIMED_STEPS)
+    state, warm_losses = run(state, audio, labels, TIMED_STEPS)
     float(warm_losses[-1])
 
     t0 = time.perf_counter()
-    state, losses = run(state, TIMED_STEPS)
+    state, losses = run(state, audio, labels, TIMED_STEPS)
     final_loss = float(losses[-1])  # forces the full round trip
     elapsed = time.perf_counter() - t0
 

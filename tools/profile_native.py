@@ -53,7 +53,7 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cqt-only", action="store_true")
     p.add_argument("--mode", default=None,
-                   choices=["full", "cqt", "model", "pipelined"],
+                   choices=["full", "cqt", "model", "fwd", "pipelined"],
                    help="full = CQT+model in-step (default); cqt / model "
                         "= that piece alone; pipelined = CQT for batch "
                         "i+1 issued alongside the model step on batch i "
@@ -131,6 +131,37 @@ def main():
 
             ms = time_scan(run_model, state, args.steps)
             print(f"B={b:<5d} model only    {ms:8.2f} ms "
+                  f"({b / (ms / 1e3):,.0f} segments/s)", flush=True)
+            continue
+
+        if args.mode == "fwd":
+            # forward + loss only (train=False): bounds the inference
+            # side and splits the model step into fwd vs bwd+optimizer
+            from guitar_tablature_classification_tpu.ops import (
+                label_smoothing_loss,
+            )
+
+            feats0 = jax.jit(frontend)(audio)
+            variables = model.init(
+                jax.random.PRNGKey(0), preprocess(feats0[:1]), train=False
+            )
+
+            @jax.jit
+            def run_fwd(v):
+                def body(c, _):
+                    logits = model.apply(
+                        v, preprocess(feats0 + c), train=False
+                    )
+                    loss = label_smoothing_loss(logits, labels, 0.05)
+                    return loss * 1e-24, None
+
+                c, _ = jax.lax.scan(
+                    body, jnp.zeros(()), None, length=args.steps
+                )
+                return None, c
+
+            ms = time_scan(run_fwd, variables, args.steps)
+            print(f"B={b:<5d} fwd+loss only {ms:8.2f} ms "
                   f"({b / (ms / 1e3):,.0f} segments/s)", flush=True)
             continue
 

@@ -81,6 +81,37 @@ def test_runbook_end_to_end(tmp_path, capsys):
     assert (work / "checkpoints" / "best_guitar_tab_model").exists()
 
 
+@pytest.mark.slow
+def test_runbook_with_shipped_fixtures(tmp_path, capsys):
+    """--fixtures: train against a pre-existing tablatures/ directory
+    (the shipped-labels path) instead of regenerating from JAMS."""
+    from guitar_tablature_classification_tpu.labels import (
+        GuitarTablatureExtractor,
+    )
+
+    import run_guitarset
+
+    audio_dir, jams_dir = _write_tree(tmp_path, num_tracks=2, duration=1.2)
+    fixtures = tmp_path / "tablatures"
+    GuitarTablatureExtractor(str(jams_dir), str(fixtures)).process_all_files()
+
+    work = tmp_path / "work"
+    rc = run_guitarset.main([
+        "--audio", str(audio_dir),
+        "--annotation", str(jams_dir),
+        "--workdir", str(work),
+        "--fixtures", str(fixtures),
+        "--arch", "small_cnn",
+        "--epochs", "2",
+        "--batch-size", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "using shipped label fixtures" in out
+    assert "exact match" in out  # features pair 1:1 with the fixtures
+    assert not (work / "labels").exists()  # nothing regenerated
+
+
 def test_runbook_pairing_audit_intersection(tmp_path, capsys):
     """Divergent feature/label sets: the audit lists them and trains on
     the materialized intersection instead of dying on the count assert."""

@@ -209,8 +209,11 @@ def main():
             model, preprocess, smoothing=0.05, frontend=frontend
         )
 
+        # audio/labels as jit ARGUMENTS: closure-captured device arrays
+        # embed in the HLO as constants, and big batches (B=8192 audio is
+        # ~290 MB) exceed the axon remote-compile request limit (HTTP 413).
         @jax.jit
-        def run(s):
+        def run(s, audio, labels):
             # Feed the previous loss (x 1e-24, numerically a no-op) back
             # into the audio: without this data dependence XLA hoists
             # the loop-invariant CQT+preprocess OUT of the scan and the
@@ -231,7 +234,9 @@ def main():
             return out, jnp.sum(leaf.astype(jnp.float32))
 
         try:
-            ms = time_scan(run, state, args.steps)
+            ms = time_scan(
+                lambda s: run(s, audio, labels), state, args.steps
+            )
             print(f"B={b:<5d} full step     {ms:8.2f} ms "
                   f"({b / (ms / 1e3):,.0f} segments/s)", flush=True)
         except Exception as e:  # noqa: BLE001

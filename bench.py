@@ -56,7 +56,8 @@ TIMED_STEPS = 20
 # zero-support split kernel the BIT-EXACT (precision="highest") CQT
 # runs at the former bf16x3 speed, so the variant reports the
 # spec-exact recipe; --cqt-precision default remains the max-throughput
-# knob (178.9k seg/s measured at B=4096) — see DESIGN.md round-3 study.
+# knob (242.9k seg/s at B=4096, 253.7k at B=8192 with the round-3b
+# chunk-contraction kernel) — see DESIGN.md round-3 studies.
 NATIVE_BATCH = 4096
 
 
@@ -135,8 +136,8 @@ def measure_native_variant():
         "batch": NATIVE_BATCH,
         "model": "resnet18_native+string_heads bf16, 96x9 (no upsample)",
         "cqt_precision": (
-            "highest (bit-exact golden; split kernel) — "
-            "--cqt-precision default reaches 178.9k seg/s"
+            "highest (bit-exact golden; chunked split kernel) — "
+            "--cqt-precision default reaches 242.9k seg/s (B=4096)"
         ),
     }
 

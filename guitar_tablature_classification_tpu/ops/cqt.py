@@ -126,7 +126,11 @@ def _cqt_windows_impl(
     else:  # pad_mode='reflect' via static gather indices
         padded = jnp.take(x, pad_index, axis=-1)  # [B, W + 2*pad]
     if use_pallas:
-        from .cqt_pallas import cqt_fused, cqt_fused_split
+        from .cqt_pallas import (
+            cqt_fused,
+            cqt_fused_split,
+            cqt_fused_split_chunked,
+        )
 
         block = (
             batch_block if batch_block is not None
@@ -144,7 +148,16 @@ def _cqt_windows_impl(
         )
         if split_geom is not None:
             split_bin, k_b, b_off, data_lo, data_hi = split_geom
-            return cqt_fused_split(
+            # chunk-contraction layout (no in-kernel im2col stack) when
+            # the hop is lane-aligned and divides the k-tile — measured
+            # 1.5-1.8x over the stack-layout split kernel on v5e
+            # (tools/probe_cqt_chunk.py; both recipes qualify)
+            kernel_fn = (
+                cqt_fused_split_chunked
+                if hop_length % 128 == 0 and 2048 % hop_length == 0
+                else cqt_fused_split
+            )
+            return kernel_fn(
                 padded, kernels, split_bin=split_bin, k_b=k_b, b_off=b_off,
                 data_lo=data_lo, data_hi=data_hi, **common,
             )[:batch]

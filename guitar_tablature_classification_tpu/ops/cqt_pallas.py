@@ -52,6 +52,19 @@ def _mxu_passes(precision) -> int:
     return 1
 
 
+def _stream_dtype(precision):
+    """HBM-resident operand dtype for the GEMM inputs.
+
+    The DEFAULT tier's single MXU pass reads bf16 operands regardless of
+    the stored dtype, so streaming audio + filterbank as bf16 halves the
+    HBM traffic and the VMEM slab footprint for free (accumulation stays
+    f32; the epilogue is untouched).  HIGHEST / bf16x3 need the full f32
+    mantissa in VMEM and keep f32 streaming."""
+    if precision in (jax.lax.Precision.DEFAULT, "default"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _dot_any(frames, ktile, dims, precision, k_split=None):
     """dot_general with fp32 accumulation at the requested precision.
 
@@ -111,6 +124,9 @@ def cqt_frame_gemm(
     need = (n_frames - 1) * hop_length + kw_pad
     if p < need:
         padded = jnp.pad(padded, ((0, 0), (0, need - p)))
+    sd = _stream_dtype(precision)
+    padded = padded.astype(sd)
+    kernels = kernels.astype(sd)
     k_tiles = kw_pad // k_tile
     t = n_frames
 
@@ -164,7 +180,9 @@ def cqt_frame_gemm(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * kw_pad * two_f * _mxu_passes(precision),
             bytes_accessed=(
-                padded.size * 4 + kernels.size * 4 + b * t * two_f * 4
+                padded.size * padded.dtype.itemsize
+                + kernels.size * kernels.dtype.itemsize
+                + b * t * two_f * 4
             ),
             transcendentals=0,
         ),
@@ -232,6 +250,9 @@ def cqt_fused(
     need = (n_frames - 1) * hop_length + kw_pad
     if p < need:
         padded = jnp.pad(padded, ((0, 0), (0, need - p)))
+    sd = _stream_dtype(precision)
+    padded = padded.astype(sd)
+    kernels = kernels.astype(sd)
     k_tiles = kw_pad // k_tile
     t = n_frames
 
@@ -300,7 +321,9 @@ def cqt_fused(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * kw_pad * 2 * f_pad * _mxu_passes(precision),
             bytes_accessed=(
-                padded.size * 4 + kernels.size * 4 + b * t * f_pad * 4
+                padded.size * padded.dtype.itemsize
+                + kernels.size * kernels.dtype.itemsize
+                + b * t * f_pad * 4
             ),
             transcendentals=b * t * f_pad,
         ),
@@ -425,6 +448,10 @@ def cqt_fused_split(
     need = (n_frames - 1) * hop_length + max(jhi * k_tile, b_off + k_b)
     if p < need:
         padded = jnp.pad(padded, ((0, 0), (0, need - p)))
+    sd = _stream_dtype(precision)
+    padded = padded.astype(sd)
+    ka = ka.astype(sd)
+    kb = kb.astype(sd)
     t = n_frames
     frame_tile = min(t, 16)
     base0 = jlo * k_tile  # static row offset of the restricted A slab
@@ -524,7 +551,8 @@ def cqt_fused_split(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * (k_tiles * k_tile + k_b) * 128 * passes,
             bytes_accessed=(
-                padded.size * 4 + (ka.size + kb.size) * 4
+                padded.size * padded.dtype.itemsize
+                + (ka.size + kb.size) * ka.dtype.itemsize
                 + b * t * f_pad * 4
             ),
             transcendentals=b * t * f_pad,
@@ -535,6 +563,245 @@ def cqt_fused_split(
         interpret=interpret,
     )(padded, ka, kb, s_mat)
     return jnp.transpose(out[:, :, :n_bins], (0, 2, 1))  # [B, F, T]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "hop_length", "n_frames", "n_bins", "magnitude_power", "amin",
+        "top_db", "gate_threshold_db", "gate_floor_db", "batch_block",
+        "k_tile", "interpret", "precision",
+        "split_bin", "k_b", "b_off", "data_lo", "data_hi",
+    ),
+)
+def cqt_fused_split_chunked(
+    padded: jax.Array,
+    kernels: jax.Array,
+    *,
+    hop_length: int,
+    n_frames: int,
+    n_bins: int,
+    magnitude_power: float,
+    amin: float,
+    top_db: float,
+    gate_threshold_db: float,
+    gate_floor_db: float,
+    split_bin: int,
+    k_b: int,
+    b_off: int,
+    data_lo: int,
+    data_hi: int,
+    batch_block: int = 16,
+    k_tile: int = 2048,
+    interpret: bool = False,
+    precision: jax.lax.Precision | str = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """:func:`cqt_fused_split` with a chunk-contraction audio layout that
+    eliminates the in-kernel im2col stack.
+
+    The stack-layout kernels spend most of their time building the
+    [BB, T, KT] frame stack in VMEM (T=9 overlapping copies of every
+    audio byte; measured: the fused split kernel is flat across batch
+    blocks and ~10x above its bandwidth+FLOP floor).  Because
+    ``hop_length`` divides ``k_tile``, frame t's rows [t*hop + c*hop,
+    t*hop + (c+1)*hop) of filterbank chunk c are audio chunk ``t + c``
+    — so with the padded audio pre-shaped to [C, B, hop] (chunks
+    OUTERMOST, a layout-free producer fusion in XLA), each filterbank
+    chunk contracts directly against the ref slice ``x[c : c + T]``:
+
+      acc[t, bb, f] += sum_r x3[c + t, bb, r] * K[c*hop + r, f]
+
+    No copies, M = T*BB GEMM rows, and outer-dim slices are free in
+    Mosaic's (sublane, lane) tiling.  Requires hop_length % 128 == 0
+    (lane alignment) and k_tile % hop_length == 0; the group-B slab is
+    chunk-realigned (b_off/k_b rounded out to hop multiples — the extra
+    rows multiply stored zeros only, so parity is unchanged).
+    Accumulation regroups the k-sum at hop granularity instead of
+    k_tile granularity (pure f32 summation reordering, same class as
+    the split kernel's tolerance vs the dense kernel).
+    """
+    b, p = padded.shape
+    kw, two_f = kernels.shape
+    h = hop_length
+    if two_f != 2 * n_bins:
+        raise ValueError(f"kernels last dim {two_f} != 2 * n_bins {n_bins}")
+    if b % batch_block:
+        raise ValueError(f"batch {b} not divisible by block {batch_block}")
+    if h % 128 or k_tile % h:
+        raise ValueError(
+            f"chunked layout needs hop % 128 == 0 and k_tile % hop == 0 "
+            f"(hop {h}, k_tile {k_tile})"
+        )
+    nb_a = split_bin
+    nb_b = n_bins - split_bin
+    if 2 * nb_a > 128 or 2 * nb_b > 128:
+        raise ValueError(f"split {split_bin} of {n_bins} exceeds 128 lanes")
+    f_pad = _round_up(n_bins, 128)
+    cph = k_tile // h  # chunks per group-A k-tile
+
+    # group-A slab: restricted to the k-tiles that touch real audio rows
+    jlo = data_lo // k_tile
+    jhi = -(-data_hi // k_tile)  # ceil
+    ka = jnp.concatenate(
+        [
+            jnp.pad(kernels[:, :nb_a], ((0, 0), (0, 64 - nb_a)))
+            if nb_a < 64 else kernels[:, :nb_a],
+            jnp.pad(kernels[:, n_bins : n_bins + nb_a],
+                    ((0, 0), (0, 64 - nb_a)))
+            if nb_a < 64 else kernels[:, n_bins : n_bins + nb_a],
+        ],
+        axis=1,
+    )  # [kw, <=128]
+    ka = jnp.pad(ka, ((0, max(0, jhi * k_tile - kw)), (0, 128 - ka.shape[1])))
+    ka = ka[jlo * k_tile : jhi * k_tile]
+    k_tiles = jhi - jlo
+
+    # group-B slab, chunk-realigned: [b_off, b_off + k_b) rounded out to
+    # hop multiples.  The added rows hold stored zeros (outside the
+    # support of every group-B wavelet), so only 0-terms join the sum.
+    b_off_c = (b_off // h) * h
+    k_b_c = _round_up(b_off + k_b - b_off_c, h)
+    kb = jnp.concatenate(
+        [
+            jnp.pad(kernels[b_off_c : b_off_c + k_b_c, nb_a : n_bins],
+                    ((0, 0), (0, 64 - nb_b))),
+            jnp.pad(kernels[b_off_c : b_off_c + k_b_c, n_bins + nb_a :],
+                    ((0, 0), (0, 64 - nb_b))),
+        ],
+        axis=1,
+    )  # [k_b_c, 128]
+    if kb.shape[0] < k_b_c:  # slab ran past kw: keep stored zeros
+        kb = jnp.pad(kb, ((0, k_b_c - kb.shape[0]), (0, 0)))
+
+    s_np = np.zeros((256, f_pad), np.float32)
+    for c in range(nb_a):
+        s_np[c, c] = 1.0          # A re
+        s_np[64 + c, c] = 1.0     # A im
+    for c in range(nb_b):
+        s_np[128 + c, nb_a + c] = 1.0        # B re
+        s_np[128 + 64 + c, nb_a + c] = 1.0   # B im
+    s_mat = jnp.asarray(s_np)
+
+    t = n_frames
+    need = (t - 1) * h + max(jhi * k_tile, b_off_c + k_b_c)
+    c_all = -(-need // h)
+    if p < c_all * h:
+        padded = jnp.pad(padded, ((0, 0), (0, c_all * h - p)))
+    sd = _stream_dtype(precision)
+    # chunks OUTERMOST: XLA fuses pad+reshape+transpose into the single
+    # producer write the stack layout also needs — no extra HBM pass.
+    x3 = jnp.transpose(
+        padded[:, : c_all * h].astype(sd).reshape(b, c_all, h), (1, 0, 2)
+    )  # [C, B, h]
+    ka = ka.astype(sd)
+    kb = kb.astype(sd)
+    ca0 = (jlo * k_tile) // h  # first group-A chunk
+    cb0 = b_off_c // h         # first group-B chunk
+
+    def kernel(x_ref, ka_ref, kb_ref, s_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        katile = ka_ref[:]  # [k_tile, 128]
+        ka_split = split_bf16(katile) if precision == "bf16x3" else None
+        for d in range(cph):
+            # frames 0..T-1 of filterbank chunk (j*cph + d): audio chunks
+            # [ca0 + j*cph + d, +T) — static outer-dim slice, no copy
+            c0 = ca0 + j * cph + d
+            xs = x_ref[pl.ds(c0, t)]  # [T, BB, h]
+            kd = katile[d * h : (d + 1) * h, :]
+            kd_split = (
+                (ka_split[0][d * h : (d + 1) * h, :],
+                 ka_split[1][d * h : (d + 1) * h, :])
+                if ka_split is not None else None
+            )
+            acc_ref[:, :, 0:128] += _dot_any(
+                xs, kd, (((2,), (0,)), ((), ())),
+                precision, k_split=kd_split,
+            )
+
+        @pl.when(j == 0)
+        def _group_b():
+            kbt = kb_ref[:]  # [k_b_c, 128]
+            kb_split = split_bf16(kbt) if precision == "bf16x3" else None
+            for d in range(k_b_c // h):
+                kd = kbt[d * h : (d + 1) * h, :]
+                kd_split = (
+                    (kb_split[0][d * h : (d + 1) * h, :],
+                     kb_split[1][d * h : (d + 1) * h, :])
+                    if kb_split is not None else None
+                )
+                acc_ref[:, :, 128:256] += _dot_any(
+                    x_ref[cb0 + d : cb0 + d + t], kd,
+                    (((2,), (0,)), ((), ())),
+                    precision, k_split=kd_split,
+                )
+
+        @pl.when(j == k_tiles - 1)
+        def _epilogue():
+            sq = acc_ref[:] * acc_ref[:]  # [T, BB, 256]
+            mag2 = jax.lax.dot_general(
+                sq, s_ref[:], (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [T, BB, f_pad]
+            s = mag2 ** (magnitude_power / 2.0)
+            ref = jnp.max(jnp.max(s, axis=2, keepdims=True), axis=0,
+                          keepdims=True)  # per-sample max over (T, F)
+            db = 20.0 * jnp.log10(jnp.maximum(amin, s)) - 20.0 * jnp.log10(
+                jnp.maximum(amin, ref)
+            )
+            db = jnp.maximum(db, -top_db)
+            db = jnp.where(db < gate_threshold_db, gate_floor_db, db)
+            out_ref[:] = db  # [T, BB, F_pad]
+
+    grid = (b // batch_block, k_tiles)
+    passes = _mxu_passes(precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (c_all, batch_block, h), lambda i, j: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_tile, 128), lambda i, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_b_c, 128), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (256, f_pad), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (t, batch_block, f_pad), lambda i, j: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, b, f_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t, batch_block, 256), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * (k_tiles * k_tile + k_b_c) * 128 * passes,
+            bytes_accessed=(
+                x3.size * x3.dtype.itemsize
+                + (ka.size + kb.size) * ka.dtype.itemsize
+                + b * t * f_pad * 4
+            ),
+            transcendentals=b * t * f_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x3, ka, kb, s_mat)
+    return jnp.transpose(out, (1, 2, 0))[:, :n_bins]  # [B, F, T]
 
 
 def supports_pallas() -> bool:

@@ -261,6 +261,64 @@ def test_split_kernel_matches_dense_kernel(cfg):
             np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_chunked_kernel_matches_stack_kernel(cfg):
+    """The chunk-contraction split kernel (cqt_fused_split_chunked —
+    audio as [C, B, hop] with hop-sized filterbank chunks contracted
+    against outer-dim slices, no im2col stack) computes the same sums
+    as the stack-layout split kernel up to f32 regrouping: zero gate
+    flips and tiny dB error, at every precision, for both recipes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from guitar_tablature_classification_tpu.ops.cqt import split_geometry
+    from guitar_tablature_classification_tpu.ops.cqt_kernels import (
+        n_frames_for,
+    )
+    from guitar_tablature_classification_tpu.ops.cqt_pallas import (
+        cqt_fused_split,
+        cqt_fused_split_chunked,
+    )
+
+    serving = dataclasses.replace(
+        CQTConfig.serving_cnn(), window_seconds=0.5, hop_seconds=0.25
+    )
+    for recipe in (cfg, serving):
+        fb = make_filterbank(recipe)
+        geom = split_geometry(fb, recipe, recipe.window_samples)
+        assert geom is not None
+        split_bin, k_b, b_off, data_lo, data_hi = geom
+        assert recipe.hop_length % 128 == 0  # chunk layout applies
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((8, recipe.window_samples)).astype(np.float32)
+        pad = fb.kernel_width // 2
+        padded = jnp.pad(jnp.asarray(x), ((0, 0), (pad, pad)))
+        kernels = jnp.asarray(fb.stacked())
+        t = n_frames_for(recipe.window_samples, recipe.hop_length)
+        for prec in (
+            jax.lax.Precision.HIGHEST, "bf16x3", jax.lax.Precision.DEFAULT
+        ):
+            kw = dict(
+                hop_length=recipe.hop_length, n_frames=t,
+                n_bins=recipe.n_bins,
+                magnitude_power=recipe.magnitude_power, amin=recipe.amin,
+                top_db=recipe.top_db,
+                gate_threshold_db=recipe.gate_threshold_db,
+                gate_floor_db=recipe.gate_floor_db,
+                split_bin=split_bin, k_b=k_b, b_off=b_off,
+                data_lo=data_lo, data_hi=data_hi,
+                batch_block=8, interpret=True, precision=prec,
+            )
+            want = np.asarray(cqt_fused_split(padded, kernels, **kw))
+            got = np.asarray(cqt_fused_split_chunked(padded, kernels, **kw))
+            assert got.shape == want.shape == (8, recipe.n_bins, t)
+            gate = recipe.gate_floor_db
+            assert np.sum((got == gate) != (want == gate)) == 0
+            both = (got != gate) & (want != gate)
+            np.testing.assert_allclose(got[both], want[both], atol=2e-3)
+
+
 def test_split_geometry_gating():
     """gemm_split='on' raises when the geometry can't apply; reflect
     padding disables the split (skipped k-tiles rely on structural

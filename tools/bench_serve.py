@@ -121,6 +121,38 @@ def main():
     )
     chunk_ms_fullpad = stream_feed_ms(fullpad)
 
+    # -- TPU-first native variant: same backbone fed the raw 96x9 CQT —
+    # the 224^2 bicubic upsample adds no information at serve time either
+    # (DESIGN.md), so the native path is the production recipe.
+    native_cfg = ModelConfig(arch="resnet18_native")
+    native_model = build_model(native_cfg)
+    native_pre = make_preprocess(native_cfg)
+    native_vars = native_model.init(
+        jax.random.PRNGKey(0),
+        native_pre(jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))),
+        train=False,
+    )
+    nb = 4096
+    native_audio = jnp.asarray(
+        rng.standard_normal((2, nb, cqt_cfg.window_samples)).astype(np.float32)
+    )
+
+    @partial(jax.jit, static_argnums=(2,))
+    def serve_native(variables, audio, steps):
+        def body(acc, i):
+            logits = native_model.apply(
+                variables, native_pre(frontend(audio[i % 2])), train=False
+            )
+            return acc + jnp.argmax(logits, -1).sum(), None
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), jnp.arange(steps))
+        return out
+
+    int(serve_native(native_vars, native_audio, STEPS))
+    t4 = time.perf_counter()
+    int(serve_native(native_vars, native_audio, STEPS))
+    native_dt = time.perf_counter() - t4
+    native_value = nb * STEPS / native_dt
+
     value = BATCH * STEPS / dt
     print(json.dumps({
         "metric": "serving windows/sec/chip (CQT->CNN infer)",
@@ -135,6 +167,12 @@ def main():
             "stream_chunk_feed_ms_median": round(chunk_ms, 2),
             "stream_buckets": list(bucketed.bucket_sizes),
             "stream_chunk_feed_ms_fullpad128": round(chunk_ms_fullpad, 2),
+            "native_windows_per_sec": round(native_value, 1),
+            "native_batch": nb,
+            "native_forward_ms": round(1e3 * native_dt / STEPS, 2),
+            "native_audio_hours_per_minute": round(
+                native_value * 0.1 / 3600 * 60, 1
+            ),
         },
     }))
 

@@ -63,6 +63,8 @@ def main():
     p.add_argument("--gemm-split", default="auto",
                    choices=["auto", "off"],
                    help="zero-support split CQT kernel (cqt_fused_split)")
+    p.add_argument("--cqt-block", type=int, default=None,
+                   help="override CQTConfig.batch_block (Pallas grid rows)")
     args = p.parse_args()
     if args.cqt_only:
         args.mode = "cqt"
@@ -73,7 +75,7 @@ def main():
 
     cqt_cfg = dataclasses.replace(
         CQTConfig(), precision=args.cqt_precision,
-        gemm_split=args.gemm_split,
+        gemm_split=args.gemm_split, batch_block=args.cqt_block,
     )
     frontend = CQTFrontend(cqt_cfg)
     model_cfg = ModelConfig(arch="resnet18_native")

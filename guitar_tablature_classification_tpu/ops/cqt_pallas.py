@@ -65,6 +65,59 @@ def _stream_dtype(precision):
     return jnp.float32
 
 
+def _column_groups(
+    kernels, n_bins, split_bin, k_tile, data_lo, data_hi, b_lo, b_width,
+    f_pad,
+):
+    """Column-group slabs shared by the split kernels.
+
+    Returns ``(ka, kb, s_mat, jlo, jhi)``: the group-A slab (re|im of
+    bins [0, split) packed to 128 lanes, restricted to the k-tiles
+    intersecting [data_lo, data_hi)), the group-B slab (re|im of bins
+    [split, n_bins) over rows [b_lo, b_lo + b_width), zero-padded past
+    the filterbank's end), and the 0/1 re-alignment matrix summing each
+    bin's re^2 + im^2 into bin-indexed lane-aligned columns.
+    """
+    kw = kernels.shape[0]
+    nb_a = split_bin
+    nb_b = n_bins - split_bin
+    jlo = data_lo // k_tile
+    jhi = -(-data_hi // k_tile)  # ceil
+    ka = jnp.concatenate(
+        [
+            jnp.pad(kernels[:, :nb_a], ((0, 0), (0, 64 - nb_a)))
+            if nb_a < 64 else kernels[:, :nb_a],
+            jnp.pad(kernels[:, n_bins : n_bins + nb_a],
+                    ((0, 0), (0, 64 - nb_a)))
+            if nb_a < 64 else kernels[:, n_bins : n_bins + nb_a],
+        ],
+        axis=1,
+    )  # [kw, <=128]
+    ka = jnp.pad(ka, ((0, max(0, jhi * k_tile - kw)), (0, 128 - ka.shape[1])))
+    ka = ka[jlo * k_tile : jhi * k_tile]
+
+    kb = jnp.concatenate(
+        [
+            jnp.pad(kernels[b_lo : b_lo + b_width, nb_a : n_bins],
+                    ((0, 0), (0, 64 - nb_b))),
+            jnp.pad(kernels[b_lo : b_lo + b_width, n_bins + nb_a :],
+                    ((0, 0), (0, 64 - nb_b))),
+        ],
+        axis=1,
+    )  # [<=b_width, 128]
+    if kb.shape[0] < b_width:  # slab ran past kw: keep stored zeros
+        kb = jnp.pad(kb, ((0, b_width - kb.shape[0]), (0, 0)))
+
+    s_np = np.zeros((256, f_pad), np.float32)
+    for c in range(nb_a):
+        s_np[c, c] = 1.0          # A re
+        s_np[64 + c, c] = 1.0     # A im
+    for c in range(nb_b):
+        s_np[128 + c, nb_a + c] = 1.0        # B re
+        s_np[128 + 64 + c, nb_a + c] = 1.0   # B im
+    return ka, kb, jnp.asarray(s_np), jlo, jhi
+
+
 def _dot_any(frames, ktile, dims, precision, k_split=None):
     """dot_general with fp32 accumulation at the requested precision.
 
@@ -398,52 +451,16 @@ def cqt_fused_split(
         raise ValueError(f"kernels last dim {two_f} != 2 * n_bins {n_bins}")
     if b % batch_block:
         raise ValueError(f"batch {b} not divisible by block {batch_block}")
-    nb_a = split_bin
-    nb_b = n_bins - split_bin
-    if 2 * nb_a > 128 or 2 * nb_b > 128:
+    if 2 * split_bin > 128 or 2 * (n_bins - split_bin) > 128:
         raise ValueError(f"split {split_bin} of {n_bins} exceeds 128 lanes")
     f_pad = _round_up(n_bins, 128)
-
-    # group-A slab: re[0:split] | im[0:split] -> 128 cols, restricted to
-    # the k-tiles that touch real audio rows
-    jlo = data_lo // k_tile
-    jhi = -(-data_hi // k_tile)  # ceil
-    ka = jnp.concatenate(
-        [
-            jnp.pad(kernels[:, :nb_a], ((0, 0), (0, 64 - nb_a)))
-            if nb_a < 64 else kernels[:, :nb_a],
-            jnp.pad(kernels[:, n_bins : n_bins + nb_a],
-                    ((0, 0), (0, 64 - nb_a)))
-            if nb_a < 64 else kernels[:, n_bins : n_bins + nb_a],
-        ],
-        axis=1,
-    )  # [kw, <=128]
-    ka = jnp.pad(ka, ((0, max(0, jhi * k_tile - kw)), (0, 128 - ka.shape[1])))
-    ka = ka[jlo * k_tile : jhi * k_tile]
+    # group-A slab restricted to real-audio k-tiles; group-B slab over
+    # the centered k_b rows; 0/1 re-alignment matrix (see _column_groups)
+    ka, kb, s_mat, jlo, jhi = _column_groups(
+        kernels, n_bins, split_bin, k_tile, data_lo, data_hi, b_off, k_b,
+        f_pad,
+    )
     k_tiles = jhi - jlo
-
-    # group-B slab: re[split:] | im[split:] over the centered k_b rows
-    # (re at cols 0:64, im at 64:128 — the layout the S matrix assumes)
-    kb = jnp.concatenate(
-        [
-            jnp.pad(kernels[b_off : b_off + k_b, nb_a : n_bins],
-                    ((0, 0), (0, 64 - nb_b))),
-            jnp.pad(kernels[b_off : b_off + k_b, n_bins + nb_a :],
-                    ((0, 0), (0, 64 - nb_b))),
-        ],
-        axis=1,
-    )  # [k_b, 128]
-
-    # 0/1 re-alignment matrix: (acc^2) @ S sums each bin's re^2 + im^2
-    # into bin-indexed columns of a [.., f_pad] block (lane-aligned).
-    s_np = np.zeros((256, f_pad), np.float32)
-    for c in range(nb_a):
-        s_np[c, c] = 1.0          # A re
-        s_np[64 + c, c] = 1.0     # A im
-    for c in range(nb_b):
-        s_np[128 + c, nb_a + c] = 1.0        # B re
-        s_np[128 + 64 + c, nb_a + c] = 1.0   # B im
-    s_mat = jnp.asarray(s_np)
 
     need = (n_frames - 1) * hop_length + max(jhi * k_tile, b_off + k_b)
     if p < need:
@@ -632,55 +649,21 @@ def cqt_fused_split_chunked(
             f"chunked layout needs hop % 128 == 0 and k_tile % hop == 0 "
             f"(hop {h}, k_tile {k_tile})"
         )
-    nb_a = split_bin
-    nb_b = n_bins - split_bin
-    if 2 * nb_a > 128 or 2 * nb_b > 128:
+    if 2 * split_bin > 128 or 2 * (n_bins - split_bin) > 128:
         raise ValueError(f"split {split_bin} of {n_bins} exceeds 128 lanes")
     f_pad = _round_up(n_bins, 128)
     cph = k_tile // h  # chunks per group-A k-tile
-
-    # group-A slab: restricted to the k-tiles that touch real audio rows
-    jlo = data_lo // k_tile
-    jhi = -(-data_hi // k_tile)  # ceil
-    ka = jnp.concatenate(
-        [
-            jnp.pad(kernels[:, :nb_a], ((0, 0), (0, 64 - nb_a)))
-            if nb_a < 64 else kernels[:, :nb_a],
-            jnp.pad(kernels[:, n_bins : n_bins + nb_a],
-                    ((0, 0), (0, 64 - nb_a)))
-            if nb_a < 64 else kernels[:, n_bins : n_bins + nb_a],
-        ],
-        axis=1,
-    )  # [kw, <=128]
-    ka = jnp.pad(ka, ((0, max(0, jhi * k_tile - kw)), (0, 128 - ka.shape[1])))
-    ka = ka[jlo * k_tile : jhi * k_tile]
-    k_tiles = jhi - jlo
 
     # group-B slab, chunk-realigned: [b_off, b_off + k_b) rounded out to
     # hop multiples.  The added rows hold stored zeros (outside the
     # support of every group-B wavelet), so only 0-terms join the sum.
     b_off_c = (b_off // h) * h
     k_b_c = _round_up(b_off + k_b - b_off_c, h)
-    kb = jnp.concatenate(
-        [
-            jnp.pad(kernels[b_off_c : b_off_c + k_b_c, nb_a : n_bins],
-                    ((0, 0), (0, 64 - nb_b))),
-            jnp.pad(kernels[b_off_c : b_off_c + k_b_c, n_bins + nb_a :],
-                    ((0, 0), (0, 64 - nb_b))),
-        ],
-        axis=1,
-    )  # [k_b_c, 128]
-    if kb.shape[0] < k_b_c:  # slab ran past kw: keep stored zeros
-        kb = jnp.pad(kb, ((0, k_b_c - kb.shape[0]), (0, 0)))
-
-    s_np = np.zeros((256, f_pad), np.float32)
-    for c in range(nb_a):
-        s_np[c, c] = 1.0          # A re
-        s_np[64 + c, c] = 1.0     # A im
-    for c in range(nb_b):
-        s_np[128 + c, nb_a + c] = 1.0        # B re
-        s_np[128 + 64 + c, nb_a + c] = 1.0   # B im
-    s_mat = jnp.asarray(s_np)
+    ka, kb, s_mat, jlo, jhi = _column_groups(
+        kernels, n_bins, split_bin, k_tile, data_lo, data_hi,
+        b_off_c, k_b_c, f_pad,
+    )
+    k_tiles = jhi - jlo
 
     t = n_frames
     need = (t - 1) * h + max(jhi * k_tile, b_off_c + k_b_c)

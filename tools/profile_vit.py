@@ -58,6 +58,10 @@ def main():
     p.add_argument("--batches", default="64,128,256")
     p.add_argument("--attn", default="xla,pallas")
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each block (activation HBM vs "
+                        "~30% extra FLOPs — probes whether the B=64 "
+                        "knee is HBM pressure)")
     args = p.parse_args()
 
     cqt_cfg = CQTConfig()
@@ -65,7 +69,9 @@ def main():
     rng = np.random.default_rng(0)
 
     for attn in args.attn.split(","):
-        model_cfg = ModelConfig(arch="vit_s8", attention_impl=attn)
+        model_cfg = ModelConfig(
+            arch="vit_s8", attention_impl=attn, remat=args.remat
+        )
         model = build_model(model_cfg)
         preprocess = make_preprocess(model_cfg, image_size=224)
         sample = jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))

@@ -142,7 +142,8 @@ class DataConfig:
 class ModelConfig:
     """Architecture selection and dimensions."""
 
-    arch: str = "resnet18"  # resnet18 | vit_s8 | small_cnn
+    # resnet18 | resnet18_native | vit_s8 | vit_native | small_cnn
+    arch: str = "resnet18"
     input_channels: int = 3
     num_strings: int = NUM_STRINGS
     num_frets: int = NUM_FRETS
@@ -154,6 +155,11 @@ class ModelConfig:
     vit_layers: int = 12
     vit_heads: int = 6
     vit_patch: int = 8
+    # Patch width for the vit_native arch's rectangular patches over the
+    # raw [96, 9] CQT: (vit_patch, vit_native_patch_w) = (8, 3) -> a
+    # 12x3 token grid (36 + CLS) vs the 224^2 recipe's 784 tokens.
+    # Must divide n_frames (9 -> 1, 3 or 9).
+    vit_native_patch_w: int = 3
     vit_mlp_ratio: float = 4.0
     dropout: float = 0.3
     remat: bool = False  # jax.checkpoint per block (activation memory vs FLOPs)

@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default=None,
                    help="checkpoint: Orbax dir or reference .pt file")
     p.add_argument("--arch", default="resnet18",
-                   choices=["resnet18", "resnet18_native", "vit_s8", "small_cnn"])
+                   choices=["resnet18", "resnet18_native", "vit_s8",
+                            "vit_native", "small_cnn"])
     p.add_argument("--output", default=None, help="output .txt path")
     p.add_argument("--image", default=None, help="render tab image PNG")
     p.add_argument("--visualize", default=None,

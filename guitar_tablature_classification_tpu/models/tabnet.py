@@ -65,7 +65,7 @@ class ViTTab(nn.Module):
     hidden: int = 384
     layers: int = 12
     heads: int = 6
-    patch: int = 8
+    patch: int | tuple[int, int] = 8  # int = square; (ph, pw) rectangular
     dropout: float = 0.3
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -105,15 +105,23 @@ class ViTTab(nn.Module):
         )(x, train=train)
 
 
-def _resolve_attention(impl: str) -> str:
-    """'auto' -> the fused Pallas kernel on real TPUs (Mosaic lowering),
-    XLA attention elsewhere (CPU tests run the kernel via interpret-mode
-    tests instead)."""
+def _resolve_attention(impl: str, tokens: int = 785) -> str:
+    """'auto' -> the fused Pallas kernel on real TPUs (Mosaic lowering)
+    when the sequence is long enough to fill its tiles, XLA attention
+    elsewhere (CPU tests run the kernel via interpret-mode tests
+    instead).
+
+    Measured crossover (v5e, DESIGN.md): at N=785 (224^2/8 patches) the
+    fused kernel wins the train step 1.9x; at N=37 (vit_native's 12x3
+    grid) XLA wins 1.35x — the kernel pads N up to a >=128 tile, so a
+    37-token sequence pays a 3.5x-padded score block plus the fixed
+    per-grid-step cost, while XLA's [B,H,37,37] materialization is
+    tiny."""
     if impl != "auto":
         return impl
     from ..ops.cqt_pallas import supports_pallas
 
-    return "pallas" if supports_pallas() else "xla"
+    return "pallas" if supports_pallas() and tokens >= 256 else "xla"
 
 
 def build_model(cfg: ModelConfig) -> nn.Module:
@@ -144,7 +152,29 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             layers=cfg.vit_layers, heads=cfg.vit_heads, patch=cfg.vit_patch,
             dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
             remat=cfg.remat, gelu=cfg.gelu,
-            attention_impl=_resolve_attention(cfg.attention_impl),
+            attention_impl=_resolve_attention(
+                cfg.attention_impl, tokens=(224 // cfg.vit_patch) ** 2 + 1
+            ),
+        )
+    if cfg.arch == "vit_native":
+        # TPU-first extension (not in the reference), the ViT twin of
+        # resnet18_native: the same ViT-S body consumes the raw [96, 9]
+        # CQT through rectangular (vit_patch, vit_native_patch_w)
+        # patches — a 12x3 token grid (36 + CLS) instead of the 224^2
+        # upsample's 784 tokens.  The upsample adds no information, and
+        # per-window FLOPs drop ~28x (attention ~450x).
+        return ViTTab(
+            num_frets=cfg.num_frets, num_strings=cfg.num_strings,
+            input_channels=1, hidden=cfg.vit_hidden,
+            layers=cfg.vit_layers, heads=cfg.vit_heads,
+            patch=(cfg.vit_patch, cfg.vit_native_patch_w),
+            dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
+            remat=cfg.remat, gelu=cfg.gelu,
+            attention_impl=_resolve_attention(
+                cfg.attention_impl,
+                tokens=(96 // cfg.vit_patch) * (9 // cfg.vit_native_patch_w)
+                + 1,
+            ),
         )
     if cfg.arch == "resnet18_native":
         # TPU-first extension (not in the reference): the 96x9 CQT goes

@@ -160,9 +160,12 @@ def save_torch_checkpoint(
     (bestengine.py:985-995 shape)."""
     import torch
 
-    if arch == "resnet18":
+    # The native extensions share their reference twin's layout (only
+    # tensor shapes differ: 1-channel conv1 / rectangular patch_embed),
+    # so their checkpoints stay torch-inspectable too.
+    if arch in ("resnet18", "resnet18_native"):
         sd = guitartabnet_state_dict(variables)
-    elif arch == "vit_s8":
+    elif arch in ("vit_s8", "vit_native"):
         sd = vittab_state_dict(variables)
     else:
         raise ValueError(f"unknown arch {arch!r}")

@@ -81,7 +81,13 @@ class ViTBackbone(nn.Module):
     hidden: int = 384
     layers: int = 12
     heads: int = 6
-    patch: int = 8
+    # Square patches (the HF ViT-S/8 recipe) as an int, or a (ph, pw)
+    # tuple for rectangular patches over non-square feature maps — the
+    # vit_native extension patches the raw [96, 9] CQT directly as
+    # (8, 3) -> a 12x3 token grid (36 + CLS), ~21x fewer tokens than
+    # the 224^2 upsample's 784 (the upsample adds no information; see
+    # DESIGN.md and the matching resnet18_native study).
+    patch: int | tuple[int, int] = 8
     mlp_ratio: float = 4.0
     image_size: int = 224
     input_channels: int = 3
@@ -96,12 +102,18 @@ class ViTBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, _ = x.shape
-        if h % self.patch or w % self.patch:
-            raise ValueError(f"input {h}x{w} not divisible by patch {self.patch}")
+        ph, pw = (
+            (self.patch, self.patch) if isinstance(self.patch, int)
+            else tuple(self.patch)
+        )
+        if h % ph or w % pw:
+            raise ValueError(
+                f"input {h}x{w} not divisible by patch {ph}x{pw}"
+            )
         x = x.astype(self.dtype)
         x = nn.Conv(
-            self.hidden, (self.patch, self.patch),
-            strides=(self.patch, self.patch), padding="VALID",
+            self.hidden, (ph, pw),
+            strides=(ph, pw), padding="VALID",
             dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed",
         )(x)
         x = x.reshape(b, -1, self.hidden)  # [B, N, D]

@@ -106,7 +106,9 @@ def make_preprocess(
             x = feats.astype(jnp.float32) / 255.0
             # small_cnn consumes native resolution (its flatten layer
             # scales with pixel count); the 224^2 backbones resize.
-            needs_resize = arch not in ("small_cnn", "resnet18_native") and (
+            needs_resize = arch not in (
+                "small_cnn", "resnet18_native", "vit_native"
+            ) and (
                 x.shape[1] != image_size or x.shape[2] != image_size
             )
             if needs_resize:
@@ -117,7 +119,7 @@ def make_preprocess(
                 x = imagenet_normalize(x)
             return x
         x = db_to_unit(feats)
-        if arch in ("small_cnn", "resnet18_native"):
+        if arch in ("small_cnn", "resnet18_native", "vit_native"):
             return x[..., None]  # raw [B, 96, T, 1], no resize needed
         if (
             arch == "resnet18"

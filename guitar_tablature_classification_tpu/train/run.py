@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--features", default=None, help="CQT feature .npy dir")
     p.add_argument("--labels", default=None, help="tablature .npy dir")
     p.add_argument("--arch", default="resnet18",
-                   choices=["resnet18", "resnet18_native", "vit_s8", "small_cnn"])
+                   choices=["resnet18", "resnet18_native", "vit_s8",
+                            "vit_native", "small_cnn"])
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
@@ -70,8 +71,12 @@ def make_config(args):
     if args.config:
         with open(args.config) as f:
             cfg = train_config_from_json(f.read())
-    elif args.arch == "vit_s8":
+    elif args.arch in ("vit_s8", "vit_native"):
         cfg = TrainConfig.vit_default()
+        if args.arch != cfg.model.arch:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, arch=args.arch)
+            )
     else:
         cfg = TrainConfig.cnn_default()
         if args.arch != cfg.model.arch:

@@ -37,6 +37,18 @@ def test_cqt_split_default_is_auto():
     assert cfg.cqt.gemm_split == "auto"
 
 
+def test_vit_native_arch_gets_vit_recipe():
+    """--arch vit_native inherits the full ViT recipe (AdamW, cosine
+    warm restarts, backbone lr/10 — ViT_engine.py:244-264) with only the
+    arch swapped."""
+    cfg = _make(["--synthetic", "--arch", "vit_native"])
+    assert cfg.model.arch == "vit_native"
+    assert cfg.optim.name == "adamw"
+    assert cfg.optim.schedule == "cosine_warm_restarts"
+    assert cfg.optim.backbone_lr_scale == 0.1
+    assert cfg.model.vit_native_patch_w == 3
+
+
 def test_cqt_precision_maps_to_frontend():
     import dataclasses
 

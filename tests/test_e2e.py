@@ -127,6 +127,44 @@ def test_vit_convergence_gate(capsys, tmp_path):
 
 
 @pytest.mark.slow
+def test_vit_native_convergence_gate(capsys, tmp_path):
+    """vit_native (rectangular patches straight off the 96x9 CQT — the
+    ViT twin of resnet18_native) learning gate: the same depth/width-
+    scaled ViT as the vit_s8 gate, but at native resolution (37 tokens
+    vs 145), through the full ViT recipe.  Measured 0.656 at 5 epochs on
+    the 8-device CPU mesh (vs 0.661 for the 96^2 upsampled gate —
+    the upsample adds no information); gate at 0.40 to absorb
+    cross-platform jitter while failing on any real regression."""
+    cfg = {
+        "model": {
+            "arch": "vit_native", "vit_hidden": 192, "vit_layers": 4,
+            "vit_heads": 6, "dtype": "float32", "dropout": 0.1,
+            "attention_impl": "xla",
+        },
+        "data": {"batch_size": 32},
+        "optim": {
+            "name": "adamw", "label_smoothing": 0.1, "epochs": 5,
+            "early_stop_patience": 10, "schedule": "cosine_warm_restarts",
+            "backbone_lr_scale": 0.1, "learning_rate": 0.003, "seed": 42,
+        },
+        "checkpoint_name": "best_vit_guitar_tab_model",
+    }
+    cfg_path = tmp_path / "vit_native_gate.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = train_main(
+        [
+            "--synthetic", "--synthetic-tracks", "16",
+            "--config", str(cfg_path),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    result = json.loads(out[-1])
+    assert result["test_accuracy"] >= 0.40, result
+
+
+@pytest.mark.slow
 def test_transcription_of_held_out_track(tmp_path):
     """BASELINE config 4: train, then transcribe a fresh track end to end
     and score the tablature against its ground-truth JAMS."""

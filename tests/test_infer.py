@@ -112,6 +112,28 @@ def test_write_tablature_file(tmp_path):
     assert "e|" in text
 
 
+def test_transcriber_vit_native():
+    """vit_native serves through the generic Transcriber path (raw 96x9
+    CQT, rectangular patches — no 224^2 upsample at serve time)."""
+    model_cfg = ModelConfig(
+        arch="vit_native", vit_hidden=64, vit_layers=1, vit_heads=2,
+        dtype="float32", attention_impl="xla",
+    )
+    cqt_cfg = CQTConfig()
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    sample = preprocess(
+        np.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames), np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    t = Transcriber(variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg,
+                    batch_size=8)
+    audio = render_performance([(0, 3, 0.1, 0.8)], 1.0, cqt_cfg)
+    out = t.transcribe(audio)
+    assert out.frets.shape[1] == 6
+    assert np.all((out.frets >= 0) & (out.frets < 19))
+
+
 def test_create_tablature_image(tmp_path):
     rng = np.random.default_rng(0)
     frets = rng.integers(0, 19, (40, 6))

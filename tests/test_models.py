@@ -44,7 +44,7 @@ def test_small_cnn_shapes_and_train_mode():
 
 
 def test_build_model_factory():
-    for arch in ("resnet18", "vit_s8", "small_cnn"):
+    for arch in ("resnet18", "vit_s8", "vit_native", "small_cnn"):
         m = build_model(ModelConfig(arch=arch))
         assert m is not None
     with pytest.raises(ValueError):
@@ -391,6 +391,77 @@ def test_resnet18_native_variant():
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     y = model.apply(variables, x, train=False)
     assert y.shape == (2, 6, 19)
+
+
+def test_vit_native_variant():
+    """vit_native: the ViT-S body patches the raw [96, 9] CQT with
+    rectangular (8, 3) patches — a 12x3=36-token grid + CLS, no 224^2
+    upsample (the ViT twin of resnet18_native)."""
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    cfg = ModelConfig(arch="vit_native", dtype="float32",
+                      attention_impl="xla")
+    model = build_model(cfg)
+    preprocess = make_preprocess(cfg)
+    feats = jnp.asarray(
+        np.random.default_rng(0).uniform(-120, 0, (2, 96, 9)), jnp.float32
+    )
+    x = preprocess(feats)
+    assert x.shape == (2, 96, 9, 1)  # no 224 upsample, single channel
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # token grid: (96/8) x (9/3) + CLS
+    pos = variables["params"]["vit"]["pos_embed"]
+    assert pos.shape == (1, 12 * 3 + 1, 384)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 6, 19)
+    # dropout + BN-stat path (train mode) runs too
+    y, _ = model.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert y.shape == (2, 6, 19)
+
+
+def test_vit_square_patch_tuple_matches_int():
+    """patch=(8, 8) is exactly patch=8 (same param tree, same output)."""
+    from guitar_tablature_classification_tpu.models.vit import ViTBackbone
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 16, 16, 3)), jnp.float32
+    )
+    kw = dict(hidden=32, layers=1, heads=2, dtype=jnp.float32)
+    m_int = ViTBackbone(patch=8, **kw)
+    m_tup = ViTBackbone(patch=(8, 8), **kw)
+    v = m_int.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(
+        np.asarray(m_int.apply(v, x)), np.asarray(m_tup.apply(v, x))
+    )
+
+
+def test_resolve_attention_token_aware(monkeypatch):
+    """'auto' picks the fused kernel only when the sequence fills its
+    >=128 tiles (measured crossover: pallas wins at N=785, XLA at N=37
+    — DESIGN.md round-3c)."""
+    from guitar_tablature_classification_tpu.models import tabnet
+    from guitar_tablature_classification_tpu.ops import cqt_pallas
+
+    monkeypatch.setattr(cqt_pallas, "supports_pallas", lambda: True)
+    assert tabnet._resolve_attention("auto", tokens=785) == "pallas"
+    assert tabnet._resolve_attention("auto", tokens=37) == "xla"
+    # explicit choices are never overridden
+    assert tabnet._resolve_attention("pallas", tokens=37) == "pallas"
+    assert tabnet._resolve_attention("xla", tokens=785) == "xla"
+    monkeypatch.setattr(cqt_pallas, "supports_pallas", lambda: False)
+    assert tabnet._resolve_attention("auto", tokens=785) == "xla"
+
+
+def test_vit_patch_divisibility_error():
+    from guitar_tablature_classification_tpu.models.vit import ViTBackbone
+
+    m = ViTBackbone(patch=(8, 2), hidden=32, layers=1, heads=2)
+    x = jnp.zeros((1, 96, 9, 1))
+    with pytest.raises(ValueError, match="not divisible"):
+        m.init(jax.random.PRNGKey(0), x)
 
 
 def test_torch_export_round_trip_guitartabnet():

@@ -75,6 +75,45 @@ def test_dp_train_step_matches_single_device():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_dp_vit_native_matches_single_device():
+    """vit_native (rectangular patches, LayerNorm/attention path) trains
+    identically under the 8-way data mesh — covers the transformer
+    stack's sharding the way the resnet fast-path tests cover convs."""
+    cfg = MeshConfig()
+    mesh = make_mesh(cfg)
+    model_cfg = ModelConfig(
+        arch="vit_native", vit_hidden=64, vit_layers=2, vit_heads=2,
+        dtype="float32", attention_impl="xla", dropout=0.0,
+    )
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    rng = np.random.default_rng(0)
+    feats = rng.uniform(-120, 0, (16, 96, 9)).astype(np.float32)
+    labels = rng.integers(0, 19, (16, 6))
+    batch = {"features": jnp.asarray(feats), "labels": jnp.asarray(labels)}
+    make_state = lambda: create_train_state(  # noqa: E731
+        model, OptimConfig(name="adamw"), jax.random.PRNGKey(0),
+        preprocess(batch["features"][:1]),
+    )
+    train_step = make_train_step(model, preprocess)
+    s1, m1 = train_step(make_state(), batch, jax.random.PRNGKey(0), 1e-3)
+
+    # fresh state for the sharded call: the step donates its input state
+    state2 = make_state()
+    sharded_state = jax.device_put(
+        state2, param_shardings(mesh, state2, cfg)
+    )
+    sharded_batch = shard_batch(mesh, batch, cfg)
+    train_step2 = make_train_step(model, preprocess)
+    s2, m2 = train_step2(sharded_state, sharded_batch,
+                         jax.random.PRNGKey(0), 1e-3)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    a = np.asarray(jax.tree.leaves(s1.params)[-1])
+    b = np.asarray(jax.tree.leaves(s2.params)[-1])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_model_axis_shards_string_heads():
     cfg = MeshConfig(model_parallel=2)
     mesh = make_mesh(cfg)

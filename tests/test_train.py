@@ -219,6 +219,41 @@ def test_vit_train_step_tiny():
     assert 0 < backbone_delta < head_delta
 
 
+def test_vit_native_train_step_tiny():
+    """vit_native (rectangular patches on the raw 96x9 CQT) through the
+    full ViT recipe: AdamW, backbone lr scale, native preprocess."""
+    from guitar_tablature_classification_tpu.models import build_model
+
+    model_cfg = ModelConfig(
+        arch="vit_native", vit_layers=2, vit_hidden=64, vit_heads=2,
+        dtype="float32", attention_impl="xla",
+    )
+    model = build_model(model_cfg)
+    rng = np.random.default_rng(0)
+    feats = rng.uniform(-120, 0, (8, 96, 9)).astype(np.float32)
+    batch = {
+        "features": jnp.asarray(feats),
+        "labels": jnp.asarray(rng.integers(0, 19, (8, 6))),
+    }
+    cfg = OptimConfig(
+        name="adamw", learning_rate=1e-3, backbone_lr_scale=0.1,
+        label_smoothing=0.1,
+    )
+    preprocess = make_preprocess(model_cfg)
+    x0 = preprocess(batch["features"][:1])
+    assert x0.shape == (1, 96, 9, 1)  # native resolution, no upsample
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), x0)
+    # 12x3 token grid + CLS
+    assert state.params["vit"]["pos_embed"].shape == (1, 37, 64)
+    train_step = make_train_step(model, preprocess, smoothing=0.1)
+    losses = []
+    for _ in range(8):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(1), 1e-3)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # learns on the fixed batch
+
+
 def test_on_epoch_end_callback(_small_setup_cached):
     _, _, batch = _small_setup_cached
     calls = []

@@ -39,16 +39,19 @@ from guitar_tablature_classification_tpu.train import (
 V5E_BF16_PEAK = 197e12  # TPU v5e (lite): 197 TFLOP/s bf16
 
 
-def vit_s8_train_flops(batch: int, image: int = 224, patch: int = 8) -> float:
-    """Approximate fwd+bwd FLOPs for ViT-S/8 (12 layers, d=384, mlp 1536)."""
-    tokens = (image // patch) ** 2 + 1
+def vit_train_flops(batch: int, tokens: int) -> float:
+    """Approximate fwd+bwd FLOPs for a ViT-S body (12 layers, d=384,
+    mlp 1536) at the given token count (785 for the 224^2/8 recipe,
+    37 for vit_native's 12x3 grid + CLS)."""
     d, mlp, layers = 384, 1536, 12
     per_layer = (
         4 * tokens * d * d * 2          # qkv + out proj
         + 2 * tokens * tokens * d * 2   # scores + PV
         + 2 * tokens * d * mlp * 2      # MLP
     )
-    embed = tokens * (patch * patch * 3) * d * 2
+    embed = tokens * 192 * d * 2  # 8x8x3 patch pixels x d (vit_s8);
+    # vit_native's 8x3x1 patches are 8x smaller — negligible either way
+    # (<0.1% of per-layer cost), so one constant serves both archs.
     fwd = layers * per_layer + embed
     return 3.0 * fwd * batch  # bwd ~= 2x fwd
 
@@ -62,15 +65,24 @@ def main():
                    help="jax.checkpoint each block (activation HBM vs "
                         "~30% extra FLOPs — probes whether the B=64 "
                         "knee is HBM pressure)")
+    p.add_argument("--arch", default="vit_s8",
+                   choices=["vit_s8", "vit_native"],
+                   help="vit_native = rectangular (8,3) patches on the "
+                        "raw 96x9 CQT (37 tokens vs 785)")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override ModelConfig.dropout (0 probes the "
+                        "PRNG/mask share of the step)")
     args = p.parse_args()
 
     cqt_cfg = CQTConfig()
     frontend = CQTFrontend(cqt_cfg)
     rng = np.random.default_rng(0)
+    tokens = 37 if args.arch == "vit_native" else 785
 
     for attn in args.attn.split(","):
+        kw = {} if args.dropout is None else {"dropout": args.dropout}
         model_cfg = ModelConfig(
-            arch="vit_s8", attention_impl=attn, remat=args.remat
+            arch=args.arch, attention_impl=attn, remat=args.remat, **kw
         )
         model = build_model(model_cfg)
         preprocess = make_preprocess(model_cfg, image_size=224)
@@ -119,7 +131,7 @@ def main():
                 continue
             del state
             segs = b / (ms / 1e3)
-            mfu = vit_s8_train_flops(b) / (ms / 1e3) / V5E_BF16_PEAK
+            mfu = vit_train_flops(b, tokens) / (ms / 1e3) / V5E_BF16_PEAK
             print(
                 f"attn={attn:<7s} B={b:<4d} {ms:8.2f} ms/step "
                 f"{segs:9,.0f} seg/s  MFU {100 * mfu:5.1f}%", flush=True,

@@ -72,6 +72,9 @@ def main():
     p.add_argument("--dropout", type=float, default=None,
                    help="override ModelConfig.dropout (0 probes the "
                         "PRNG/mask share of the step)")
+    p.add_argument("--fwd", action="store_true",
+                   help="serving bound: CQT + preprocess + eval-mode "
+                        "forward only (no loss/bwd/optimizer)")
     args = p.parse_args()
 
     cqt_cfg = CQTConfig()
@@ -97,6 +100,35 @@ def main():
                 model, OptimConfig(name="adamw"), jax.random.PRNGKey(0),
                 preprocess(sample),
             )
+            if args.fwd:
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+
+                @jax.jit
+                def run_fwd(v):
+                    def body(c, _):
+                        logits = model.apply(
+                            v, preprocess(frontend(audio + c)), train=False
+                        )
+                        return jnp.sum(logits) * 1e-24, None
+
+                    c, _ = jax.lax.scan(
+                        body, jnp.zeros(()), None, length=args.steps
+                    )
+                    return c
+
+                try:
+                    float(run_fwd(variables))
+                    t0 = time.perf_counter()
+                    float(run_fwd(variables))
+                    ms = 1e3 * (time.perf_counter() - t0) / args.steps
+                except Exception as e:  # noqa: BLE001
+                    print(f"attn={attn:<7s} B={b:<4d} fwd FAILED: "
+                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                    continue
+                print(f"attn={attn:<7s} B={b:<4d} {ms:8.2f} ms/fwd "
+                      f"{b / (ms / 1e3):9,.0f} windows/s", flush=True)
+                continue
             train_step = make_train_step(
                 model, preprocess, smoothing=0.1, frontend=frontend
             )

@@ -319,6 +319,48 @@ def test_chunked_kernel_matches_stack_kernel(cfg):
             np.testing.assert_allclose(got[both], want[both], atol=2e-3)
 
 
+@pytest.mark.parametrize("variant", [
+    # (sr, hop, n_bins, bpo, fmin, window_s, pad_mode) — off-recipe
+    # geometries: the auto dispatcher (dense / split / chunked kernel
+    # selection + batch-block heuristic) must match the XLA path for
+    # ANY user recipe, not just the two shipped ones.
+    (44100, 512, 96, 12, 32.70319566257483, 0.15, "constant"),
+    (44100, 1000, 96, 12, 32.70319566257483, 0.25, "constant"),  # hop not lane-aligned
+    (22050, 256, 48, 12, 65.40639132514966, 0.2, "constant"),
+    (22050, 512, 96, 24, 65.40639132514966, 0.3, "constant"),  # 24 bins/octave
+    (44100, 512, 84, 12, 65.40639132514966, 0.2, "reflect"),  # split ineligible
+])
+def test_pallas_dispatcher_matches_xla_for_any_recipe(variant):
+    """Property test over off-recipe CQT configs: whatever kernel family
+    the auto dispatcher selects (dense, zero-support split, chunked) and
+    whatever batch block the heuristic picks, the Pallas path (interpret
+    mode) must agree with the XLA einsum path up to fp32 summation-order
+    tolerance away from the gate boundary."""
+    import dataclasses
+
+    sr, hop, n_bins, bpo, fmin, win_s, pad = variant
+    cfg = dataclasses.replace(
+        CQTConfig(), sample_rate=sr, hop_length=hop, n_bins=n_bins,
+        bins_per_octave=bpo, fmin=fmin, window_seconds=win_s,
+        hop_seconds=win_s / 2, pad_mode=pad,
+    )
+    rng = np.random.default_rng(int(sr + hop + n_bins))
+    t = np.arange(cfg.window_samples) / sr
+    x = np.stack([
+        np.sin(2 * np.pi * 196.0 * t).astype(np.float32),
+        (0.1 * rng.standard_normal(cfg.window_samples)).astype(np.float32),
+        (np.sin(2 * np.pi * 880.0 * t)
+         + 0.01 * rng.standard_normal(cfg.window_samples)).astype(np.float32),
+    ])
+    want = np.asarray(CQTFrontend(cfg, use_pallas=False)(x))
+    got = np.asarray(
+        CQTFrontend(cfg, use_pallas=True, pallas_interpret=True)(x)
+    )
+    assert got.shape == want.shape
+    boundary = np.abs(want - cfg.gate_threshold_db) < 0.5
+    np.testing.assert_allclose(got[~boundary], want[~boundary], atol=0.02)
+
+
 def test_split_geometry_gating():
     """gemm_split='on' raises when the geometry can't apply; reflect
     padding disables the split (skipped k-tiles rely on structural

@@ -100,15 +100,23 @@ def make_preprocess(
     CNN's cqt_images/*.png path) -> [0,1], resize, ImageNet normalize.
     """
     arch = model_cfg.arch
+    if input_kind == "rgb_image" and arch in ("resnet18_native", "vit_native"):
+        # The PNG path carries colormapped renders; the native archs
+        # consume the raw 1-channel dB map, which cannot be recovered
+        # from a colormap. Fail here with a clear message instead of a
+        # shape error deep inside the model.
+        raise ValueError(
+            f"arch {arch!r} consumes raw 1-channel CQT features; the "
+            "PNG image path is only supported by the 224^2 archs "
+            "(resnet18, vit_s8) and small_cnn"
+        )
 
     def preprocess(feats: jax.Array) -> jax.Array:
         if input_kind == "rgb_image":
             x = feats.astype(jnp.float32) / 255.0
             # small_cnn consumes native resolution (its flatten layer
             # scales with pixel count); the 224^2 backbones resize.
-            needs_resize = arch not in (
-                "small_cnn", "resnet18_native", "vit_native"
-            ) and (
+            needs_resize = arch != "small_cnn" and (
                 x.shape[1] != image_size or x.shape[2] != image_size
             )
             if needs_resize:

@@ -219,6 +219,17 @@ def test_vit_train_step_tiny():
     assert 0 < backbone_delta < head_delta
 
 
+def test_native_archs_reject_png_path():
+    """The PNG/rgb_image input path carries colormapped renders; the
+    1-channel native archs can't consume them — make_preprocess must
+    fail with a clear message, not a shape error inside the model."""
+    import pytest
+
+    for arch in ("resnet18_native", "vit_native"):
+        with pytest.raises(ValueError, match="raw 1-channel"):
+            make_preprocess(ModelConfig(arch=arch), input_kind="rgb_image")
+
+
 def test_vit_native_train_step_tiny():
     """vit_native (rectangular patches on the raw 96x9 CQT) through the
     full ViT recipe: AdamW, backbone lr scale, native preprocess."""

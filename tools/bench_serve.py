@@ -153,6 +153,38 @@ def main():
     native_dt = time.perf_counter() - t4
     native_value = nb * STEPS / native_dt
 
+    # -- vit_native: the transformer serving path (round 3c) — same raw
+    # 96x9 CQT through rectangular (8,3) patches; token-aware auto
+    # attention resolves to XLA at 37 tokens (DESIGN.md).
+    vitn_cfg = ModelConfig(arch="vit_native")
+    vitn_model = build_model(vitn_cfg)
+    vitn_pre = make_preprocess(vitn_cfg)
+    vitn_vars = vitn_model.init(
+        jax.random.PRNGKey(0),
+        vitn_pre(jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))),
+        train=False,
+    )
+    vb = 2048
+    vitn_audio = jnp.asarray(
+        rng.standard_normal((2, vb, cqt_cfg.window_samples)).astype(np.float32)
+    )
+
+    @partial(jax.jit, static_argnums=(2,))
+    def serve_vitn(variables, audio, steps):
+        def body(acc, i):
+            logits = vitn_model.apply(
+                variables, vitn_pre(frontend(audio[i % 2])), train=False
+            )
+            return acc + jnp.argmax(logits, -1).sum(), None
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), jnp.arange(steps))
+        return out
+
+    int(serve_vitn(vitn_vars, vitn_audio, STEPS))
+    t5 = time.perf_counter()
+    int(serve_vitn(vitn_vars, vitn_audio, STEPS))
+    vitn_dt = time.perf_counter() - t5
+    vitn_value = vb * STEPS / vitn_dt
+
     value = BATCH * STEPS / dt
     print(json.dumps({
         "metric": "serving windows/sec/chip (CQT->CNN infer)",
@@ -173,6 +205,9 @@ def main():
             "native_audio_hours_per_minute": round(
                 native_value * 0.1 / 3600 * 60, 1
             ),
+            "vit_native_windows_per_sec": round(vitn_value, 1),
+            "vit_native_batch": vb,
+            "vit_native_forward_ms": round(1e3 * vitn_dt / STEPS, 2),
         },
     }))
 

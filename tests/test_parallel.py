@@ -114,6 +114,51 @@ def test_dp_vit_native_matches_single_device():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_model_axis_vit_native_heads():
+    """The ViT family's SimpleStringHeads stacked kernel [6, 256, 19]
+    shards over the model axis too (data=4 x model=2 mesh), and the
+    sharded step stays numerically equal to single-device."""
+    cfg = MeshConfig(model_parallel=2)
+    mesh = make_mesh(cfg)
+    model_cfg = ModelConfig(
+        arch="vit_native", vit_hidden=64, vit_layers=1, vit_heads=2,
+        dtype="float32", attention_impl="xla", dropout=0.0,
+    )
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    rng = np.random.default_rng(1)
+    feats = rng.uniform(-120, 0, (16, 96, 9)).astype(np.float32)
+    batch = {
+        "features": jnp.asarray(feats),
+        "labels": jnp.asarray(rng.integers(0, 19, (16, 6))),
+    }
+    make_state = lambda: create_train_state(  # noqa: E731
+        model, OptimConfig(name="adamw"), jax.random.PRNGKey(0),
+        preprocess(batch["features"][:1]),
+    )
+    train_step = make_train_step(model, preprocess)
+    s1, m1 = train_step(make_state(), batch, jax.random.PRNGKey(0), 1e-3)
+
+    state2 = make_state()
+    shardings = param_shardings(mesh, state2, cfg)
+    assert (
+        shardings.params["heads"]["out"]["kernel"].spec
+        == jax.sharding.PartitionSpec("model")
+    )
+    sharded_state = jax.device_put(state2, shardings)
+    sharded_batch = shard_batch(mesh, batch, cfg)
+    train_step2 = make_train_step(model, preprocess)
+    s2, m2 = train_step2(sharded_state, sharded_batch,
+                         jax.random.PRNGKey(0), 1e-3)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["heads"]["out"]["kernel"]),
+        np.asarray(s2.params["heads"]["out"]["kernel"]),
+        atol=1e-5,
+    )
+
+
 def test_model_axis_shards_string_heads():
     cfg = MeshConfig(model_parallel=2)
     mesh = make_mesh(cfg)

@@ -111,17 +111,17 @@ def _resolve_attention(impl: str, tokens: int = 785) -> str:
     elsewhere (CPU tests run the kernel via interpret-mode tests
     instead).
 
-    Measured crossover (v5e, DESIGN.md): at N=785 (224^2/8 patches) the
-    fused kernel wins the train step 1.9x; at N=37 (vit_native's 12x3
-    grid) XLA wins 1.35x — the kernel pads N up to a >=128 tile, so a
-    37-token sequence pays a 3.5x-padded score block plus the fixed
-    per-grid-step cost, while XLA's [B,H,37,37] materialization is
-    tiny."""
+    Measured crossover (v5e train step, DESIGN.md): XLA wins at N=37
+    (1.35x) and N=65 (1.42x); the fused kernel wins at N=197 (1.19x)
+    and N=785 (1.9x).  The boundary is the kernel's 128-token tile:
+    at N<=128 the padded score block plus fixed per-grid-step cost
+    lose to XLA's small [B,H,N,N] materialization; past one tile the
+    materialization grows quadratically and the kernel wins."""
     if impl != "auto":
         return impl
     from ..ops.cqt_pallas import supports_pallas
 
-    return "pallas" if supports_pallas() and tokens >= 256 else "xla"
+    return "pallas" if supports_pallas() and tokens > 128 else "xla"
 
 
 def build_model(cfg: ModelConfig) -> nn.Module:

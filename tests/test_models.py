@@ -439,14 +439,16 @@ def test_vit_square_patch_tuple_matches_int():
 
 
 def test_resolve_attention_token_aware(monkeypatch):
-    """'auto' picks the fused kernel only when the sequence fills its
-    >=128 tiles (measured crossover: pallas wins at N=785, XLA at N=37
-    — DESIGN.md round-3c)."""
+    """'auto' picks the fused kernel only past its 128-token tile
+    (measured: XLA wins at N=37/65, the kernel at N=197/785 —
+    DESIGN.md round-3c)."""
     from guitar_tablature_classification_tpu.models import tabnet
     from guitar_tablature_classification_tpu.ops import cqt_pallas
 
     monkeypatch.setattr(cqt_pallas, "supports_pallas", lambda: True)
     assert tabnet._resolve_attention("auto", tokens=785) == "pallas"
+    assert tabnet._resolve_attention("auto", tokens=197) == "pallas"
+    assert tabnet._resolve_attention("auto", tokens=65) == "xla"
     assert tabnet._resolve_attention("auto", tokens=37) == "xla"
     # explicit choices are never overridden
     assert tabnet._resolve_attention("pallas", tokens=37) == "pallas"

@@ -75,15 +75,25 @@ def main():
     p.add_argument("--fwd", action="store_true",
                    help="serving bound: CQT + preprocess + eval-mode "
                         "forward only (no loss/bwd/optimizer)")
+    p.add_argument("--patch", type=int, default=None,
+                   help="override vit_patch (e.g. 16 -> N=197 tokens at "
+                        "224^2: probes the pallas/xla attention "
+                        "crossover between the N=37 and N=785 endpoints)")
     args = p.parse_args()
 
     cqt_cfg = CQTConfig()
     frontend = CQTFrontend(cqt_cfg)
     rng = np.random.default_rng(0)
-    tokens = 37 if args.arch == "vit_native" else 785
+    patch = args.patch or 8
+    if args.arch == "vit_native":
+        tokens = (96 // patch) * 3 + 1
+    else:
+        tokens = (224 // patch) ** 2 + 1
 
     for attn in args.attn.split(","):
         kw = {} if args.dropout is None else {"dropout": args.dropout}
+        if args.patch is not None:
+            kw["vit_patch"] = args.patch
         model_cfg = ModelConfig(
             arch=args.arch, attention_impl=attn, remat=args.remat, **kw
         )

@@ -219,6 +219,35 @@ def test_vit_train_step_tiny():
     assert 0 < backbone_delta < head_delta
 
 
+def test_vit_native_patch16_trains():
+    """The documented small-data knob (vit_patch=16 -> a 6x3 grid, 19
+    tokens; the measured-best ViT config, DESIGN.md patch sweep) builds
+    and trains."""
+    from guitar_tablature_classification_tpu.models import build_model
+
+    model_cfg = ModelConfig(
+        arch="vit_native", vit_patch=16, vit_layers=2, vit_hidden=64,
+        vit_heads=2, dtype="float32", attention_impl="xla",
+    )
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "features": jnp.asarray(
+            rng.uniform(-120, 0, (8, 96, 9)).astype(np.float32)
+        ),
+        "labels": jnp.asarray(rng.integers(0, 19, (8, 6))),
+    }
+    state = create_train_state(
+        model, OptimConfig(name="adamw"), jax.random.PRNGKey(0),
+        preprocess(batch["features"][:1]),
+    )
+    assert state.params["vit"]["pos_embed"].shape == (1, 6 * 3 + 1, 64)
+    train_step = make_train_step(model, preprocess, smoothing=0.1)
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1), 1e-3)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_native_archs_reject_png_path():
     """The PNG/rgb_image input path carries colormapped renders; the
     1-channel native archs can't consume them — make_preprocess must

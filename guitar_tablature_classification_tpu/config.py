@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 
 # MIDI pitches of the open strings, low E (E2=40) to high e (E4=64).
@@ -277,6 +277,49 @@ class TrainConfig:
             ),
             checkpoint_name="best_vit_guitar_tab_model",
         )
+
+    @staticmethod
+    def native_best() -> "TrainConfig":
+        """Measured-best CNN recipe (`--recipe native-best`): the
+        resnet18_native arch on the raw 96x9 CQT (no information is added
+        by the reference's 224^2 bicubic upsample — DESIGN.md), the
+        "default"-precision chunk-contraction CQT kernel (0.001 % gate
+        flips; the max-throughput tier) and the measured batch knee.
+        ~29x the 224^2 flagship's training throughput at equal-or-better
+        accuracy on the synthetic benchmark.  The reference equivalent is
+        the hard-coded literals of bestengine.py:1039-1049."""
+        return TrainConfig(
+            cqt=CQTConfig(precision="default"),
+            data=DataConfig(batch_size=2048),
+            model=ModelConfig(arch="resnet18_native"),
+        )
+
+    @staticmethod
+    def vit_small_data() -> "TrainConfig":
+        """Measured-best ViT recipe for small datasets
+        (`--recipe vit-small-data`): vit_native with coarse (16, 3)
+        rectangular patches on the raw CQT — the DESIGN.md patch sweep's
+        winner on BOTH axes (paired seeds: +6.3/+4.4 accuracy points over
+        the (8, 3) default AND 1.8x faster; 33x the 224^2 ViT).  The
+        reference equivalent is ViT_engine.py:574-586's literals."""
+        base = TrainConfig.vit_default()
+        return dataclasses.replace(
+            base,
+            model=dataclasses.replace(
+                base.model, arch="vit_native", vit_patch=16
+            ),
+        )
+
+
+# Named recipe registry for the CLI (`tab-train --recipe ...`): the
+# measured-best configurations, so a user gets the DESIGN.md winners
+# without reading DESIGN.md.
+RECIPES: dict[str, Callable[[], "TrainConfig"]] = {
+    "cnn-reference": TrainConfig.cnn_default,
+    "vit-reference": TrainConfig.vit_default,
+    "native-best": TrainConfig.native_best,
+    "vit-small-data": TrainConfig.vit_small_data,
+}
 
 
 def to_dict(cfg: Any) -> dict:

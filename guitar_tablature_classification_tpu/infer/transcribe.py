@@ -164,12 +164,16 @@ def transcriber_from_torch_checkpoint(
     )
 
     sd = load_torch_checkpoint(path)
-    if arch == "resnet18":
+    # The converters are shape-agnostic key mappers, so the native twins
+    # (resnet18_native / vit_native — e.g. a .pt this repo's
+    # save_torch_checkpoint wrote) route through the same paths.
+    if arch in ("resnet18", "resnet18_native"):
         variables = guitartabnet_variables_from_torch(sd)
-    elif arch == "vit_s8":
+    elif arch in ("vit_s8", "vit_native"):
         variables = vittab_variables_from_torch(sd)
     else:
         raise ValueError(f"unknown arch {arch!r}")
     return Transcriber(
-        variables, model_cfg=ModelConfig(arch=arch), **kwargs
+        variables, model_cfg=kwargs.pop("model_cfg", None) or ModelConfig(arch=arch),
+        **kwargs,
     )

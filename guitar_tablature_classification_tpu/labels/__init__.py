@@ -14,7 +14,9 @@ from .jams_io import (
 )
 from .tablature import (
     empty_tablature,
+    midi_to_tablature_first_fit,
     midi_to_tablature_lowest_fret,
+    tablature_first_fit_window,
     tablature_from_pitch_contour,
     tablature_lowest_fret_center,
     tablature_per_string_window,
@@ -31,9 +33,11 @@ __all__ = [
     "empty_tablature",
     "hz_to_midi",
     "load_jams",
+    "midi_to_tablature_first_fit",
     "midi_to_tablature_lowest_fret",
     "note_value_to_midi",
     "parse_jams",
+    "tablature_first_fit_window",
     "tablature_from_pitch_contour",
     "tablature_lowest_fret_center",
     "tablature_per_string_window",

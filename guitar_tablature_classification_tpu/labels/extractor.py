@@ -6,14 +6,17 @@ directory of GuitarSet ``.jams``, derive the 0.2 s segment grid, emit one
 ``(6, 19)`` int8 ``.npy`` per segment, and report generation statistics.
 
 Defaults reproduce the SHIPPED fixture convention (see
-:mod:`.tablature`): window-overlap per-string labels on a 0.2 s grid with
-filenames ``{track}_segment_{file_index}_{start:.2f}.npy``, where
-``file_index`` is the excerpt's position in the sorted processing order —
-the naming measured over all 43,188 files in the reference's
-``tablatures/`` directory (360 excerpts, ids 0-359 in sorted order,
-constant per excerpt; times walk a contiguous 0.2 s grid from 0.00).  The
-jam_to_tablature.py center-instant/lowest-fret convention (with its
-pitch_contour fallback) is available as ``convention="lowest_fret_center"``.
+:mod:`.tablature`): window-overlap pitch pooling with first-fit string
+assignment ("first_fit_window" — pinned in round 4 by the fixtures' own
+(string, fret) support) on a 0.2 s grid with filenames
+``{track}_segment_{file_index}_{start:.2f}.npy``, where ``file_index`` is
+the excerpt's position in the sorted processing order — the naming
+measured over all 43,188 files in the reference's ``tablatures/``
+directory (360 excerpts, ids 0-359 in sorted order, constant per excerpt;
+times walk a contiguous 0.2 s grid from 0.00).  The direct per-string
+reading is ``convention="per_string_window"``; the jam_to_tablature.py
+center-instant/lowest-fret convention (with its pitch_contour fallback)
+is ``convention="lowest_fret_center"``.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ import numpy as np
 
 from .jams_io import Jams, load_jams
 from .tablature import (
+    tablature_first_fit_window,
     tablature_from_pitch_contour,
     tablature_lowest_fret_center,
     tablature_per_string_window,
@@ -69,7 +73,7 @@ class GuitarTablatureExtractor:
         jams_dir: str,
         output_dir: str,
         *,
-        convention: str = "per_string_window",
+        convention: str = "first_fit_window",
         window: float = 0.2,
     ):
         self.jams_dir = jams_dir
@@ -80,6 +84,8 @@ class GuitarTablatureExtractor:
 
     # -- single-segment -------------------------------------------------
     def extract_segment(self, jam: Jams, start: float) -> np.ndarray:
+        if self.convention == "first_fit_window":
+            return tablature_first_fit_window(jam, start, self.window)
         if self.convention == "per_string_window":
             return tablature_per_string_window(jam, start, self.window)
         if self.convention == "lowest_fret_center":
@@ -255,8 +261,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tab-extract-labels")
     p.add_argument("jams_dir", help="directory of GuitarSet .jams files")
     p.add_argument("output_dir", help="output directory for (6,19) .npy")
-    p.add_argument("--convention", default="per_string_window",
-                   choices=["per_string_window", "lowest_fret_center"])
+    p.add_argument("--convention", default="first_fit_window",
+                   choices=["first_fit_window", "per_string_window",
+                            "lowest_fret_center"])
     p.add_argument("--window", type=float, default=0.2)
     p.add_argument("--validate", action="store_true")
     p.add_argument("--diff", metavar="FIXTURES_DIR", default=None,

@@ -1,17 +1,29 @@
 """MIDI pitch -> (string, fret) tablature matrices.
 
-Two conventions coexist in the reference lineage:
+Three conventions coexist in the reference lineage:
 
-1. ``per_string_window`` — the convention of the SHIPPED
-   ``tablatures/*.npy`` fixtures (SURVEY C16, verified statistically):
-   GuitarSet gives one note_midi annotation per string; every note whose
-   [onset, onset+duration) overlaps the 0.2 s window marks
-   ``fret = round(midi - open_midi[string])`` on that string, and a
-   string with no marks gets fret 0 (open/idle).  Every row therefore
-   has >= 1 mark and rows can carry several (two pitches on one string
-   within the window, ~46% of frames).
+1. ``first_fit_window`` — the convention of the SHIPPED
+   ``tablatures/*.npy`` fixtures (SURVEY C16), pinned in round 4 by the
+   fixtures' own support: pool the pitches of every note whose
+   [onset, onset+duration) overlaps the 0.2 s window, assign each pitch
+   to the FIRST string s (scanning 0 = low E upward) where
+   ``fret = round(midi - open_midi[s])`` lands in [0, 18], and mark
+   fret 0 on strings left idle.  The reachable (string, fret) support of
+   this rule — string 0: frets 0-18 (midi 40-58); strings 1-3: {0,
+   14-18}; string 4: {0, 15-18} (midi 73 still fits string 3); string 5:
+   {0, 14-18} — contains EVERY mark in all 43,188 shipped fixtures
+   (tests/test_labels.py::test_fixture_support_matches_first_fit), while
+   the per-string reading (2.) would populate strings 1-5 at frets 1-13
+   (the most-played positions), which are empty in every fixture.
 
-2. ``lowest_fret_center`` — jam_to_tablature.py:55-143: pool all notes
+2. ``per_string_window`` — the direct reading of GuitarSet's per-string
+   annotations (round 1-3 default): every note of string s's annotation
+   overlapping the window marks ``round(midi - open_midi[s])`` on row s;
+   idle rows get fret 0.  Kept as the musically-faithful convention (the
+   fixture support proves the shipped labels were NOT generated this
+   way).
+
+3. ``lowest_fret_center`` — jam_to_tablature.py:55-143: pool all notes
    active at the window *center* across strings, then map each pitch to
    the valid (string, fret) with the lowest fret; idle strings stay
    all-zero.
@@ -50,6 +62,41 @@ def tablature_per_string_window(
                     marked = True
         if not marked:
             tab[s, 0] = 1  # open/idle marker
+    return tab
+
+
+def midi_to_tablature_first_fit(midi_pitches) -> np.ndarray:
+    """Each pitch goes to the FIRST string (low E upward) whose fret
+    fits [0, 18]; pitches outside every string's range are dropped.
+    The shipped-fixture mapping rule (see module docstring)."""
+    tab = empty_tablature()
+    for pitch in midi_pitches:
+        midi = note_value_to_midi(pitch)
+        if midi is None:
+            continue
+        for s, open_midi in enumerate(OPEN_STRING_MIDI):
+            fret = int(round(midi - open_midi))
+            if 0 <= fret < NUM_FRETS:
+                tab[s, fret] = 1
+                break
+    return tab
+
+
+def tablature_first_fit_window(
+    jam: Jams, start: float, window: float = 0.2
+) -> np.ndarray:
+    """The shipped-fixture convention: window-overlap pitch pooling
+    across all note_midi annotations, first-fit string assignment,
+    fret 0 on idle strings (every row carries >= 1 mark)."""
+    end = start + window
+    pitches = []
+    for ann in jam.by_namespace("note_midi"):
+        for obs in ann.observations:
+            if obs.time < end and obs.time + obs.duration > start:
+                pitches.append(obs.value)
+    tab = midi_to_tablature_first_fit(pitches)
+    idle = tab.sum(axis=1) == 0
+    tab[idle, 0] = 1
     return tab
 
 

@@ -314,7 +314,7 @@ def train_model(
     checkpointer=None,
     resume: bool = False,
     log: Callable[[str], None] = print,
-    on_epoch_end: Callable[[int, dict], None] | None = None,
+    on_epoch_end: Callable[[int, dict, "TrainState"], None] | None = None,
 ) -> tuple[TrainState, dict]:
     """Reference-compatible training driver (bestengine.py:870-1016):
     epoch loop, validation, LR schedule on val loss, best-val checkpoint,
@@ -410,8 +410,10 @@ def train_model(
         )
 
         if on_epoch_end is not None:
-            # e.g. periodic metric plots (bestengine.py:1006-1007)
-            on_epoch_end(epoch, history)
+            # e.g. periodic metric plots (bestengine.py:1006-1007) /
+            # per-epoch confusion matrices (ViT_engine.py:473) — the
+            # state enables mid-training prediction artifacts.
+            on_epoch_end(epoch, history, state)
 
         if val["loss"] < best_val:
             best_val = val["loss"]

@@ -23,9 +23,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tab-train")
     p.add_argument("--features", default=None, help="CQT feature .npy dir")
     p.add_argument("--labels", default=None, help="tablature .npy dir")
-    p.add_argument("--arch", default="resnet18",
+    p.add_argument("--arch", default=None,
                    choices=["resnet18", "resnet18_native", "vit_s8",
-                            "vit_native", "small_cnn"])
+                            "vit_native", "small_cnn"],
+                   help="architecture (default resnet18; mutually "
+                        "exclusive with --recipe, which implies one)")
+    p.add_argument("--recipe", default=None,
+                   choices=["cnn-reference", "vit-reference",
+                            "native-best", "vit-small-data"],
+                   help="named measured-best preset (config.RECIPES): "
+                        "'native-best' = resnet18_native + default-tier "
+                        "CQT + knee batch; 'vit-small-data' = vit_native "
+                        "with (16,3) patches — see DESIGN.md")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
@@ -33,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None, help="TrainConfig JSON file")
     p.add_argument("--report-dir", default=None,
                    help="write the visualization artifact suite here")
+    p.add_argument("--report-every", type=int, default=0, metavar="N",
+                   help="also emit metric curves + confusion matrices "
+                        "into --report-dir every N epochs during training "
+                        "(reference: metric plots every 5 epochs, "
+                        "bestengine.py:1006-1007; per-epoch confusion "
+                        "matrices, ViT_engine.py:473)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthesized audio/labels (no dataset needed)")
     p.add_argument("--synthetic-tracks", type=int, default=8)
@@ -64,13 +79,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_config(args):
     from ..config import (
-        DataConfig, ModelConfig, OptimConfig, TrainConfig,
+        DataConfig, ModelConfig, OptimConfig, RECIPES, TrainConfig,
         train_config_from_json,
     )
 
+    if args.recipe is not None and args.arch is not None:
+        raise SystemExit("--recipe implies an arch; pass one or the other")
     if args.config:
         with open(args.config) as f:
             cfg = train_config_from_json(f.read())
+    elif args.recipe is not None:
+        cfg = RECIPES[args.recipe]()
     elif args.arch in ("vit_s8", "vit_native"):
         cfg = TrainConfig.vit_default()
         if args.arch != cfg.model.arch:
@@ -78,9 +97,10 @@ def make_config(args):
                 cfg, model=dataclasses.replace(cfg.model, arch=args.arch)
             )
     else:
+        arch = args.arch or "resnet18"
         cfg = TrainConfig.cnn_default()
-        if args.arch != cfg.model.arch:
-            cfg = dataclasses.replace(cfg, model=ModelConfig(arch=args.arch))
+        if arch != cfg.model.arch:
+            cfg = dataclasses.replace(cfg, model=ModelConfig(arch=arch))
     optim = cfg.optim
     if args.epochs is not None:
         optim = dataclasses.replace(optim, epochs=args.epochs)
@@ -177,10 +197,19 @@ def main(argv=None) -> int:
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_name)
     from ..utils.profiling import trace
 
+    on_epoch_end = None
+    if args.report_every:
+        if not args.report_dir:
+            raise SystemExit("--report-every requires --report-dir")
+        on_epoch_end = make_periodic_reporter(
+            args.report_dir, args.report_every, cfg, val_loader
+        )
+
     with trace(args.profile_dir):
         state, history = train_model(
             train_loader, val_loader, cfg, checkpointer=ckpt,
             resume=args.resume, log=lambda s: logger.log("epoch", msg=s),
+            on_epoch_end=on_epoch_end,
         )
 
     model = build_model(cfg.model)
@@ -207,6 +236,69 @@ def main(argv=None) -> int:
             input_kind=input_kind,
         )
     return 0
+
+
+def make_periodic_reporter(report_dir, every: int, cfg, val_loader):
+    """Mid-training artifact emitter for ``--report-every N``: every N
+    epochs, write the metric curves so far plus validation confusion
+    matrices (epoch-stamped filenames).  Reference behavior: metric plots
+    every 5 epochs (bestengine.py:1006-1007) and confusion matrices during
+    every validation pass (ViT_engine.py:473)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..report import plot_confusion_matrices, plot_training_metrics
+    from ..train import confusion_matrices
+    from ..train.engine import make_preprocess
+
+    os.makedirs(report_dir, exist_ok=True)
+    peek = next(iter(val_loader))
+    input_kind = "rgb_image" if peek["features"].ndim == 4 else "db_features"
+    preprocess = make_preprocess(cfg.model, cfg.data.image_size, input_kind)
+    cache: dict = {}
+
+    def on_epoch_end(epoch, history, state):
+        if (epoch + 1) % every:
+            return
+        if "predict" not in cache:  # jit once, reuse across epochs
+
+            @jax.jit
+            def predict(params, batch_stats, feats):
+                variables = {"params": params, "batch_stats": batch_stats}
+                logits = state.apply_fn(
+                    variables, preprocess(feats), train=False
+                )
+                return jnp.argmax(logits, -1)
+
+            cache["predict"] = predict
+        predict = cache["predict"]
+        preds, targets = [], []
+        for batch in val_loader:
+            p = np.asarray(
+                predict(state.params, state.batch_stats,
+                        jnp.asarray(batch["features"]))
+            )
+            weights = batch.get("weights")
+            mask = (
+                np.ones(p.shape[0], bool) if weights is None
+                else np.asarray(weights)[:, 0] > 0
+            )
+            preds.append(p[mask])
+            targets.append(np.asarray(batch["labels"])[mask])
+        preds = np.concatenate(preds)
+        targets = np.concatenate(targets)
+        tag = f"epoch{epoch + 1:03d}"
+        plot_training_metrics(
+            history, os.path.join(report_dir, f"training_metrics_{tag}.png")
+        )
+        cm = np.asarray(
+            confusion_matrices(jnp.asarray(preds), jnp.asarray(targets))
+        )
+        plot_confusion_matrices(
+            cm, os.path.join(report_dir, f"confusion_matrices_{tag}.png")
+        )
+
+    return on_epoch_end
 
 
 def write_report(

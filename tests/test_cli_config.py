@@ -49,6 +49,45 @@ def test_vit_native_arch_gets_vit_recipe():
     assert cfg.model.vit_native_patch_w == 3
 
 
+def test_recipe_native_best_preset():
+    """--recipe native-best = the DESIGN.md measured-best CNN config:
+    resnet18_native, default-tier CQT, knee batch."""
+    cfg = _make(["--synthetic", "--recipe", "native-best"])
+    assert cfg.model.arch == "resnet18_native"
+    assert cfg.cqt.precision == "default"
+    assert cfg.data.batch_size == 2048
+    assert cfg.optim.name == "adam"  # CNN training recipe otherwise
+
+
+def test_recipe_vit_small_data_preset():
+    """--recipe vit-small-data = vit_native with (16, 3) patches (the
+    patch sweep's paired-seed winner) on the full ViT optimizer recipe."""
+    cfg = _make(["--synthetic", "--recipe", "vit-small-data"])
+    assert cfg.model.arch == "vit_native"
+    assert cfg.model.vit_patch == 16
+    assert cfg.model.vit_native_patch_w == 3
+    assert cfg.optim.name == "adamw"
+    assert cfg.optim.schedule == "cosine_warm_restarts"
+
+
+def test_recipe_conflicts_with_arch():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _make(["--synthetic", "--recipe", "native-best", "--arch", "vit_s8"])
+
+
+def test_recipe_respects_explicit_overrides():
+    cfg = _make([
+        "--synthetic", "--recipe", "native-best", "--batch-size", "64",
+        "--cqt-precision", "highest", "--epochs", "3",
+    ])
+    assert cfg.model.arch == "resnet18_native"
+    assert cfg.data.batch_size == 64
+    assert cfg.cqt.precision == "highest"
+    assert cfg.optim.epochs == 3
+
+
 def test_cqt_precision_maps_to_frontend():
     import dataclasses
 

@@ -25,6 +25,7 @@ def test_synthetic_training_learns(tmp_path, capsys):
             "--learning-rate", "0.003",
             "--checkpoint-dir", str(tmp_path / "ckpt"),
             "--report-dir", str(tmp_path / "report"),
+            "--report-every", "3",
         ]
     )
     assert rc == 0
@@ -40,6 +41,12 @@ def test_synthetic_training_learns(tmp_path, capsys):
         "fret_accuracy.png", "model_architecture.png",
     ):
         assert (tmp_path / "report" / artifact).exists(), artifact
+    # --report-every 3 over 6 epochs -> mid-training artifacts at 3 and 6
+    # (metric plots every N epochs, bestengine.py:1006-1007; confusion
+    # matrices during validation, ViT_engine.py:473)
+    for tag in ("epoch003", "epoch006"):
+        assert (tmp_path / "report" / f"training_metrics_{tag}.png").exists()
+        assert (tmp_path / "report" / f"confusion_matrices_{tag}.png").exists()
 
     # resume: restarting with --resume continues from the saved epoch
     rc = train_main(

@@ -8,12 +8,28 @@ import pytest
 from guitar_tablature_classification_tpu.labels import (
     GuitarTablatureExtractor,
     hz_to_midi,
+    midi_to_tablature_first_fit,
     midi_to_tablature_lowest_fret,
     parse_jams,
+    tablature_first_fit_window,
     tablature_lowest_fret_center,
     tablature_per_string_window,
     tablature_to_frets,
 )
+
+
+def first_fit_support() -> np.ndarray:
+    """The (string, fret) cells reachable under the first-fit rule (plus
+    the fret-0 idle column): string 0 takes every midi 40-58 (frets
+    0-18), so strings 1-5 only ever receive the overflow pitches above
+    the previous strings' 19-fret span — frets 14-18 (string 4: 15-18,
+    because midi 73 still fits string 3 at fret 18)."""
+    support = np.zeros((6, 19), bool)
+    support[:, 0] = True  # idle marker
+    for midi in range(30, 110):
+        tab = midi_to_tablature_first_fit([float(midi)])
+        support |= tab.astype(bool)
+    return support
 
 
 def _note(time, duration, value):
@@ -75,6 +91,66 @@ def test_per_string_window_overlap_semantics():
     assert tab[0, 0] == 1 and tab[0].sum() == 1  # not yet sounding
     tab2 = tablature_per_string_window(jam, 0.2, 0.2)
     assert tab2[0, 5] == 1  # 45 - 40 = fret 5 active in [0.2, 0.4)
+
+
+def test_first_fit_window_convention():
+    """The shipped-fixture convention: pooled window pitches, first-fit
+    string assignment, fret-0 idle markers."""
+    notes = [
+        [(0.0, 0.5, 43.0)],            # midi 43 -> string 0 fret 3
+        [(0.1, 0.05, 45.0)],           # midi 45 -> string 0 fret 5 (NOT s1!)
+        [],
+        [],
+        [],
+        [(0.0, 0.08, 64.0), (0.1, 0.2, 78.0)],  # 64 -> s2 f14; 78 -> s5 f14
+    ]
+    jam = parse_jams(_jams_dict(notes))
+    tab = tablature_first_fit_window(jam, 0.0, 0.2)
+    assert tab.dtype == np.int8 and tab.shape == (6, 19)
+    # first-fit pools pitches across annotations: both 43 and 45 land on
+    # string 0 (a multi-mark row), string 1 is idle
+    assert tab[0, 3] == 1 and tab[0, 5] == 1
+    assert tab[1, 0] == 1 and tab[1].sum() == 1
+    assert tab[2, 14] == 1  # midi 64 overflows strings 0-1 -> s2 fret 14
+    assert tab[5, 14] == 1  # midi 78 -> s5 fret 14
+    # idle strings marked open; every row >= 1 mark (fixture invariant)
+    assert (tab.sum(axis=1) >= 1).all()
+    # out-of-range pitch dropped (string idle)
+    tab = midi_to_tablature_first_fit([20.0, 120.0])
+    assert tab.sum() == 0
+
+
+def test_first_fit_support_is_the_fixture_signature():
+    """The first-fit rule's reachable support is exactly the measured
+    shape of the shipped fixtures: string 0 all frets, strings 1-3 and 5
+    only {0, 14-18}, string 4 only {0, 15-18}."""
+    support = first_fit_support()
+    assert list(np.nonzero(support[0])[0]) == list(range(19))
+    for s in (1, 2, 3, 5):
+        assert list(np.nonzero(support[s])[0]) == [0, 14, 15, 16, 17, 18], s
+    assert list(np.nonzero(support[4])[0]) == [0, 15, 16, 17, 18]
+
+
+def test_fixture_support_matches_first_fit():
+    """Spread-sample of the shipped labels against the first-fit support:
+    no fixture ever marks a cell the first-fit rule cannot produce, while
+    the per-string reading would (strings 1-5, frets 1-13 — the
+    most-played guitar positions — are empty in EVERY fixture).  This is
+    the evidence that pins ``first_fit_window`` as the fixture
+    convention (exhaustive version in the slow sweep below)."""
+    import os
+
+    ref_dir = "/root/reference/tablatures"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference fixtures not mounted")
+    support = first_fit_support()
+    files = sorted(os.listdir(ref_dir))[::97]  # ~445 spread files
+    low_fret_high_string = 0
+    for fname in files:
+        tab = np.load(os.path.join(ref_dir, fname)).astype(bool)
+        assert not (tab & ~support).any(), fname
+        low_fret_high_string += int(tab[1:, 1:14].any())
+    assert low_fret_high_string == 0
 
 
 def test_lowest_fret_convention():
@@ -224,6 +300,8 @@ def test_all_43k_shipped_fixtures_exhaustive():
     - per excerpt, start times form a contiguous 0.2 s grid from 0.00
     - every array is (6, 19) int8 with values in {0, 1}
     - every row (string) carries >= 1 mark (fret 0 doubles as open/idle)
+    - every mark lies inside the first-fit convention's reachable
+      (string, fret) support (round-4 convention pin: 0 violations/43,188)
     - ~46-48 % of frames have a string with >= 2 marked frets (two pitches
       mapped to one string; argmax in the loaders keeps the lower fret)
     """
@@ -237,6 +315,7 @@ def test_all_43k_shipped_fixtures_exhaustive():
     assert len(files) == 43188
 
     pat = re.compile(r"^(.+)_(comp|solo)_segment_(\d+)_(\d+\.\d{2})\.npy$")
+    support = first_fit_support()
     ids: dict[str, set] = {}
     times: dict[str, list] = {}
     multi = 0
@@ -252,6 +331,9 @@ def test_all_43k_shipped_fixtures_exhaustive():
         assert tab.min() >= 0 and tab.max() <= 1, fname
         rows = tab.sum(axis=1)
         assert (rows >= 1).all(), f"unmarked string row in {fname}"
+        assert not (tab.astype(bool) & ~support).any(), (
+            f"mark outside the first-fit support in {fname}"
+        )
         if (rows >= 2).any():
             multi += 1
 

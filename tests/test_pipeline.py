@@ -82,3 +82,45 @@ def test_serving_from_reference_torch_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         got.argmax(-1), want.argmax(-1)
     )
+
+
+@pytest.mark.parametrize("arch", ["resnet18_native", "vit_native"])
+def test_serving_native_archs_from_torch_checkpoint(arch, tmp_path):
+    """The native twins' .pt checkpoints (written by this repo's own
+    save_torch_checkpoint) must load back through
+    transcriber_from_torch_checkpoint — the converters are shape-agnostic
+    key mappers (round-3 ADVICE)."""
+    pytest.importorskip("torch")
+    from guitar_tablature_classification_tpu.config import (
+        CQTConfig,
+        ModelConfig,
+    )
+    from guitar_tablature_classification_tpu.infer import (
+        transcriber_from_torch_checkpoint,
+    )
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.models.torch_export import (
+        save_torch_checkpoint,
+    )
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    cqt_cfg = CQTConfig()
+    model_cfg = ModelConfig(arch=arch, vit_layers=2)
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    sample = preprocess(
+        jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames), jnp.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    path = str(tmp_path / f"best_{arch}.pt")
+    save_torch_checkpoint(path, variables, arch=arch, meta={"epoch": 1})
+
+    transcriber = transcriber_from_torch_checkpoint(
+        path, arch=arch, model_cfg=model_cfg, batch_size=4
+    )
+    audio = np.random.default_rng(0).standard_normal(
+        cqt_cfg.window_samples * 3
+    ).astype(np.float32)
+    result = transcriber.transcribe(audio, smooth_window=0)
+    assert result.frets.shape[1] == 6
+    assert (result.frets >= 0).all() and (result.frets < 19).all()

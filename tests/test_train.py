@@ -301,11 +301,19 @@ def test_on_epoch_end_callback(_small_setup_cached):
         model=ModelConfig(arch="small_cnn", dtype="float32"),
         optim=OptimConfig(epochs=2, early_stop_patience=5),
     )
+    steps = []
+    # NOTE: the state must be consumed inside the callback — train_step
+    # donates it, so buffers held past the next epoch are deleted.
     train_model(
         [batch], [batch], cfg, log=lambda s: None,
-        on_epoch_end=lambda epoch, hist: calls.append(epoch),
+        on_epoch_end=lambda epoch, hist, state: (
+            calls.append(epoch), steps.append(int(state.step))
+        ),
     )
     assert calls == [0, 1]
+    # the callback receives the live TrainState (for mid-training
+    # prediction artifacts); steps advance between epochs
+    assert steps == [1, 2]
     # throughput metric recorded per epoch
 
 

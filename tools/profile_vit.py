@@ -84,11 +84,6 @@ def main():
     cqt_cfg = CQTConfig()
     frontend = CQTFrontend(cqt_cfg)
     rng = np.random.default_rng(0)
-    patch = args.patch or 8
-    if args.arch == "vit_native":
-        tokens = (96 // patch) * 3 + 1
-    else:
-        tokens = (224 // patch) ** 2 + 1
 
     for attn in args.attn.split(","):
         kw = {} if args.dropout is None else {"dropout": args.dropout}
@@ -97,6 +92,15 @@ def main():
         model_cfg = ModelConfig(
             arch=args.arch, attention_impl=attn, remat=args.remat, **kw
         )
+        # Token count from the SAME config the model is built with (both
+        # patch dims — vit_native patches are rectangular (ph, pw)).
+        if args.arch == "vit_native":
+            ph, pw = model_cfg.vit_patch, model_cfg.vit_native_patch_w
+            assert cqt_cfg.n_bins % ph == 0 and cqt_cfg.n_frames % pw == 0, (
+                ph, pw, cqt_cfg.n_bins, cqt_cfg.n_frames)
+            tokens = (cqt_cfg.n_bins // ph) * (cqt_cfg.n_frames // pw) + 1
+        else:
+            tokens = (224 // model_cfg.vit_patch) ** 2 + 1
         model = build_model(model_cfg)
         preprocess = make_preprocess(model_cfg, image_size=224)
         sample = jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))

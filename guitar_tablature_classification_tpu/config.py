@@ -191,6 +191,13 @@ class ModelConfig:
     # the 40 Pallas call boundaries break that fusion (DESIGN.md).
     # Kept as a tested variant.
     bn_fusion: str = "off"  # on | off
+    # Width-1 conv contraction (models/resnet.py Conv3x3): on the native
+    # trunk's 6x1/3x1 tail stages a 3x3 conv's side kernel columns only
+    # ever multiply zero padding; "slim" contracts the center column
+    # only — output-equal, trajectory-equal, ~1/3 of the trunk conv
+    # FLOPs dropped (exact zeros only).  "full" forces the dense 3x3
+    # contraction (the A/B baseline).  No effect on 224^2 inputs.
+    w1_conv: str = "slim"  # slim | full
     # GELU flavor: the reference's HF ViT uses exact erf-GELU, whose
     # transcendental costs ~18 ms/step at B=64 on the VPU.  The tanh
     # approximation's max abs error (~3e-4) is below bf16 activation

@@ -40,22 +40,100 @@ def render_note(
     return (wave * env).astype(np.float32)
 
 
+# Chord interval templates (semitones above the root): the voicing
+# shapes of comp-style playing.  3-5 notes spanning up to ~2 octaves,
+# so several pitches land in one first-fit string band per window —
+# the source of the fixtures' ~48 % multi-mark frames.
+_CHORD_TEMPLATES = (
+    (0, 4, 7, 12, 16),   # major add-3rd-on-top
+    (0, 3, 7, 12, 15),   # minor
+    (0, 4, 10, 14, 19),  # dominant 9
+    (0, 3, 10, 14, 17),  # m7 add 11
+    (0, 7, 12, 16, 21),  # open fifth stack
+    (0, 5, 10, 15, 19),  # quartal
+)
+
+
+def _physical_position(pitch: int, used: set[int]) -> tuple[int, int] | None:
+    """Lowest-fret playable (string, fret) for a pitch, skipping strings
+    already sounding (one pitch per physical string, like a guitarist)."""
+    best = None
+    for s in range(NUM_STRINGS):
+        if s in used:
+            continue
+        fret = pitch - OPEN_STRING_MIDI[s]
+        if 0 <= fret <= 15 and (best is None or fret < best[1]):
+            best = (s, fret)
+    return best
+
+
 def random_performance(
     rng: np.random.Generator,
     duration: float = 4.0,
     *,
-    notes_per_second: float = 3.0,
+    notes_per_second: float | None = None,
     max_fret: int = 12,
+    style: str = "guitarset",
 ) -> list[tuple[int, int, float, float]]:
-    """-> list of (string, fret, onset, note_duration)."""
-    events = []
-    n_notes = max(1, int(duration * notes_per_second))
-    for _ in range(n_notes):
-        s = int(rng.integers(0, NUM_STRINGS))
-        fret = int(rng.integers(0, min(max_fret + 1, NUM_FRETS)))
-        onset = float(rng.uniform(0.0, duration - 0.3))
-        dur = float(rng.uniform(0.2, min(1.5, duration - onset)))
-        events.append((s, fret, onset, dur))
+    """-> list of (string, fret, onset, note_duration).
+
+    ``style="guitarset"`` (default since round 4) renders a comp/solo-like
+    performance — chord strums (sustained, 3-5 voices) interleaved with
+    melodic runs and rests — whose labels under the shipped-fixture
+    convention reproduce the measured statistics of the reference's
+    ``tablatures/`` payload (~48 % multi-mark frames, declining
+    per-string activity, ~8 % idle frames; see
+    tests/test_data.py::test_synthetic_label_statistics_match_fixtures).
+    ``style="sparse"`` (or passing ``notes_per_second``) keeps the
+    round-1 generator: independent uniform single notes.
+    """
+    if style == "sparse" or notes_per_second is not None:
+        nps = 3.0 if notes_per_second is None else notes_per_second
+        events = []
+        n_notes = max(1, int(duration * nps))
+        for _ in range(n_notes):
+            s = int(rng.integers(0, NUM_STRINGS))
+            fret = int(rng.integers(0, min(max_fret + 1, NUM_FRETS)))
+            onset = float(rng.uniform(0.0, duration - 0.3))
+            dur = float(rng.uniform(0.2, min(1.5, duration - onset)))
+            events.append((s, fret, onset, dur))
+        return sorted(events, key=lambda e: e[2])
+    if style != "guitarset":
+        raise ValueError(f"unknown style {style!r}")
+
+    events: list[tuple[int, int, float, float]] = []
+    beat = float(rng.uniform(0.22, 0.38))  # ~160-270 bpm eighths
+    melody = int(rng.integers(55, 72))
+    t = float(rng.uniform(0.0, 0.1))
+    while t < duration - 0.15:
+        r = rng.random()
+        if r < 0.24:  # chord strum (sustained)
+            root = int(rng.integers(40, 53))
+            tmpl = _CHORD_TEMPLATES[int(rng.integers(len(_CHORD_TEMPLATES)))]
+            n_voices = int(rng.integers(2, 5))
+            dur = float(rng.uniform(1.2, 3.2)) * beat
+            used: set[int] = set()
+            for iv in tmpl[:n_voices]:
+                pos = _physical_position(root + iv, used)
+                if pos is None:
+                    continue
+                used.add(pos[0])
+                events.append(
+                    (pos[0], pos[1], t, min(dur, duration - t - 0.01))
+                )
+        elif r < 0.80:  # melodic step (mean-reverting random walk)
+            step = int(rng.integers(-4, 6)) - (melody - 62) // 5
+            melody = int(np.clip(melody + step, 47, 75))
+            pos = _physical_position(melody, set())
+            if pos is not None:
+                dur = float(rng.uniform(1.0, 2.4)) * beat
+                events.append(
+                    (pos[0], pos[1], t, min(dur, duration - t - 0.01))
+                )
+        # else: rest (no event this beat)
+        t += beat * int(rng.choice((1, 1, 1, 2)))
+    if not events:  # degenerate very-short durations
+        events.append((0, 0, 0.0, max(duration - 0.05, 0.05)))
     return sorted(events, key=lambda e: e[2])
 
 

@@ -80,6 +80,52 @@ class FusedBatchNorm(nn.Module):
         return out
 
 
+class Conv3x3(nn.Module):
+    """3x3 conv that skips structurally-zero kernel columns on width-1
+    feature maps.
+
+    The native trunk's tail stages run at 6x1 and 3x1 spatial extents
+    (resnet18_native, 96x9 input), where the 3x3 kernel's side columns
+    only ever multiply zero padding: they contribute nothing to the
+    output and receive zero gradients — the model-side analogue of the
+    CQT kernel's zero-support split (DESIGN.md round 3).  This module
+    declares the full (3, 3, in, out) kernel (identical variable tree,
+    checkpoints and torch import/export) but contracts only the center
+    column when the input width is 1 — 3x fewer FLOPs on those convs
+    with outputs equal to the full conv (same terms, the dropped ones
+    are exact zeros) and an identical training trajectory (the side
+    columns' gradients were already zero).  ``slim=False`` forces the
+    full contraction (the A/B baseline; tests assert parity).
+    """
+
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    slim: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        x = x.astype(self.dtype)
+        if self.slim and x.shape[2] == 1:
+            kernel, pad_w = kernel[:, 1:2], (0, 0)
+        else:
+            pad_w = (1, 1)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(self.dtype),
+            window_strides=(self.strides, self.strides),
+            padding=[(1, 1), pad_w],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class BasicBlock(nn.Module):
     """torchvision BasicBlock: 3x3 conv-bn-relu, 3x3 conv-bn, residual."""
 
@@ -88,12 +134,13 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     fused_bn: bool = False
+    slim_w1: bool = True  # center-column contraction on width-1 maps
 
     @nn.compact
     def __call__(self, x, train: bool):
-        conv = lambda f, s, name: nn.Conv(  # noqa: E731
-            f, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)], use_bias=False,
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+        conv = lambda f, s, name: Conv3x3(  # noqa: E731
+            f, strides=s, dtype=self.dtype, param_dtype=self.param_dtype,
+            slim=self.slim_w1, name=name,
         )
         norm_cls = FusedBatchNorm if self.fused_bn else nn.BatchNorm
         norm = lambda name: norm_cls(  # noqa: E731
@@ -224,6 +271,10 @@ class ResNet18(nn.Module):
     # trunk BN (and the stem bn1 when the fused tail isn't handling it).
     # Same variable tree as nn.BatchNorm.
     fused_bn: bool = False
+    # Center-column contraction for 3x3 convs on width-1 feature maps
+    # (Conv3x3 docstring): output-equal, trajectory-equal, 3x fewer FLOPs
+    # on the native trunk's tail stages.  False = full-kernel baseline.
+    slim_w1: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -291,6 +342,7 @@ class ResNet18(nn.Module):
                 x = block_cls(
                     filters, strides, dtype=self.dtype,
                     param_dtype=self.param_dtype, fused_bn=self.fused_bn,
+                    slim_w1=self.slim_w1,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
 

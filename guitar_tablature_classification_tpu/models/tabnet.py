@@ -37,6 +37,7 @@ class GuitarTabNet(nn.Module):
     fused_front: int | None = None  # precomposed stem front (see ResNet18)
     fused_tail: bool = False  # Pallas BN/ReLU/pool stem tail (see ResNet18)
     fused_bn: bool = False  # Pallas trunk BatchNorms (see ResNet18)
+    slim_w1: bool = True  # width-1 center-column convs (see Conv3x3)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,6 +46,7 @@ class GuitarTabNet(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
             remat=self.remat, fused_front=self.fused_front,
             fused_tail=self.fused_tail, fused_bn=self.fused_bn,
+            slim_w1=self.slim_w1,
             name="resnet",
         )(x, train=train)
         return StringBranchHeads(
@@ -184,6 +186,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
             input_channels=1, dtype=dtype, param_dtype=param_dtype,
             remat=cfg.remat, fused_bn=cfg.bn_fusion == "on",
+            slim_w1=cfg.w1_conv == "slim",
         )
     if cfg.arch == "small_cnn":
         return SmallTabCNN(

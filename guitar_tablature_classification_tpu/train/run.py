@@ -132,7 +132,7 @@ def synthetic_loaders(cfg, num_tracks: int):
     from ..data import make_synthetic_dataset
     from ..data.guitarset import ArrayLoader, torch_random_split_indices
     from ..labels import parse_jams
-    from ..labels.tablature import tablature_per_string_window
+    from ..labels.tablature import tablature_first_fit_window
     from ..ops import CQTFrontend, frame_track
 
     frontend = CQTFrontend(cfg.cqt)
@@ -149,7 +149,11 @@ def synthetic_loaders(cfg, num_tracks: int):
         jam = parse_jams(track["jams"])
         for i in range(len(windows)):
             start = i * cfg.cqt.window_seconds
-            tab = tablature_per_string_window(jam, start, cfg.cqt.window_seconds)
+            # Shipped-fixture label convention (first-fit pooling) so the
+            # synthetic gates exercise the same task as real GuitarSet
+            # training against tablatures/*.npy, argmaxed like the
+            # reference loaders (my_dataloader.py:40-44).
+            tab = tablature_first_fit_window(jam, start, cfg.cqt.window_seconds)
             labels_list.append(np.argmax(tab, axis=-1).astype(np.int32))
         feats_list.append(feats)
     features = np.concatenate(feats_list)

@@ -21,6 +21,7 @@ from guitar_tablature_classification_tpu.config import (
 )
 from guitar_tablature_classification_tpu.labels import (
     parse_jams,
+    tablature_first_fit_window,
     tablature_lowest_fret_center,
     tablature_per_string_window,
     tablature_to_frets,
@@ -81,6 +82,46 @@ def _oracle_place_lowest(tab, midi):
     if candidates:
         fret, s = min(candidates)
         tab[s, fret] = 1
+
+
+def oracle_first_fit_window(obj, start, window=0.2):
+    """Spec (the shipped-fixture convention, pinned round 4): pool every
+    note_midi note (any annotation, file order irrelevant) whose
+    [t0, t0+dur) meets [start, start+window) under the half-open test,
+    mark each pitch on the FIRST string (index 0 upward) where
+    round(midi - open) lands in [0, 19); idle rows mark fret 0.  Written
+    per-cell on the raw dict, independent control flow."""
+    end = start + window
+    pitches = []
+    for ann in obj["annotations"]:
+        if ann["namespace"] != "note_midi":
+            continue
+        for obs in ann["data"]:
+            t0 = obs["time"]
+            if t0 >= end or t0 + obs["duration"] <= start:
+                continue
+            midi = _oracle_midi(obs["value"])
+            if midi is not None:
+                pitches.append(midi)
+    tab = np.zeros((NUM_STRINGS, NUM_FRETS), np.int8)
+    for s in range(NUM_STRINGS):
+        for f in range(NUM_FRETS):
+            for midi in pitches:
+                # pitch lands on (s, f) iff it rounds there AND no lower
+                # string could take it
+                if round(midi - OPEN_STRING_MIDI[s]) != f:
+                    continue
+                taken = False
+                for s2 in range(s):
+                    if 0 <= round(midi - OPEN_STRING_MIDI[s2]) < NUM_FRETS:
+                        taken = True
+                        break
+                if not taken:
+                    tab[s, f] = 1
+    for s in range(NUM_STRINGS):
+        if tab[s].sum() == 0:
+            tab[s, 0] = 1
+    return tab
 
 
 def oracle_lowest_fret_center(obj, center):
@@ -203,6 +244,20 @@ def test_per_string_window_matches_oracle_randomized():
         for start in starts:
             got = tablature_per_string_window(jam, start, 0.2)
             want = oracle_per_string_window(obj, start, 0.2)
+            np.testing.assert_array_equal(got, want)
+            # fixture invariant: every row carries >= 1 mark
+            assert (got.sum(axis=1) >= 1).all()
+
+
+def test_first_fit_window_matches_oracle_randomized():
+    rng = np.random.default_rng(4)
+    starts = [0.0, 0.1, 0.2, 0.4]
+    for _ in range(300):
+        obj = _random_jams(rng)
+        jam = parse_jams(obj)
+        for start in starts:
+            got = tablature_first_fit_window(jam, start, 0.2)
+            want = oracle_first_fit_window(obj, start, 0.2)
             np.testing.assert_array_equal(got, want)
             # fixture invariant: every row carries >= 1 mark
             assert (got.sum(axis=1) >= 1).all()

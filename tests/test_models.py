@@ -393,6 +393,62 @@ def test_resnet18_native_variant():
     assert y.shape == (2, 6, 19)
 
 
+def test_w1_slim_conv_matches_full():
+    """The width-1 center-column contraction (ModelConfig.w1_conv="slim",
+    models/resnet.py Conv3x3) must equal the full 3x3 conv on the native
+    trunk: the dropped kernel columns only ever multiply zero padding.
+    Checked on forward logits AND parameter gradients with shared
+    weights."""
+    from guitar_tablature_classification_tpu.ops import (
+        label_smoothing_loss,
+    )
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    cfg_slim = ModelConfig(arch="resnet18_native", dtype="float32")
+    cfg_full = ModelConfig(
+        arch="resnet18_native", dtype="float32", w1_conv="full"
+    )
+    slim, full = build_model(cfg_slim), build_model(cfg_full)
+    preprocess = make_preprocess(cfg_full)
+    feats = jnp.asarray(
+        np.random.default_rng(1).uniform(-120, 0, (4, 96, 9)), jnp.float32
+    )
+    x = preprocess(feats)
+    variables = full.init(jax.random.PRNGKey(0), x, train=False)
+    labels = jnp.asarray(
+        np.random.default_rng(2).integers(0, 19, (4, 6)), jnp.int32
+    )
+
+    # same variable tree: slim applies the full model's weights directly
+    y_full = full.apply(variables, x, train=False)
+    y_slim = slim.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_slim), np.asarray(y_full), atol=2e-4, rtol=1e-4
+    )
+
+    def loss_fn(model):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(3)},
+            )
+            return label_smoothing_loss(out, labels, 0.05)
+        return f
+
+    g_full = jax.grad(loss_fn(full))(variables["params"])
+    g_slim = jax.grad(loss_fn(slim))(variables["params"])
+    flat_f = jax.tree_util.tree_flatten_with_path(g_full)[0]
+    flat_s = {str(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(g_slim)[0]}
+    for path, want in flat_f:
+        got = flat_s[str(path)]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-4, rtol=2e-3,
+            err_msg=str(path),
+        )
+
+
 def test_vit_native_variant():
     """vit_native: the ViT-S body patches the raw [96, 9] CQT with
     rectangular (8, 3) patches — a 12x3=36-token grid + CLS, no 224^2

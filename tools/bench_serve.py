@@ -120,6 +120,20 @@ def main():
         bucket_sizes=(128,),
     )
     chunk_ms_fullpad = stream_feed_ms(fullpad)
+    # bucket-1 probe (round-3 VERDICT #7): does padding a single
+    # streaming window to 1 row instead of 8 buy anything once the
+    # tunnel RTT is excluded?  Also time the 1-row vs 8-row forward
+    # device-side (scan-amortized) so the answer is attributable.
+    bucket1 = Transcriber(
+        variables, model_cfg=model_cfg, cqt_cfg=cqt_cfg, batch_size=128,
+        bucket_sizes=(1, 8, 32, 128),
+    )
+    chunk_ms_bucket1 = stream_feed_ms(bucket1)
+    eight = audio[:, :8]
+    int(serve(variables, eight, lat_steps))
+    t1b = time.perf_counter()
+    int(serve(variables, eight, lat_steps))
+    b8_device_ms = 1e3 * (time.perf_counter() - t1b) / lat_steps
 
     # -- TPU-first native variant: same backbone fed the raw 96x9 CQT —
     # the 224^2 bicubic upsample adds no information at serve time either
@@ -199,6 +213,8 @@ def main():
             "stream_chunk_feed_ms_median": round(chunk_ms, 2),
             "stream_buckets": list(bucketed.bucket_sizes),
             "stream_chunk_feed_ms_fullpad128": round(chunk_ms_fullpad, 2),
+            "stream_chunk_feed_ms_bucket1": round(chunk_ms_bucket1, 2),
+            "batch8_device_ms": round(b8_device_ms, 2),
             "native_windows_per_sec": round(native_value, 1),
             "native_batch": nb,
             "native_forward_ms": round(1e3 * native_dt / STEPS, 2),

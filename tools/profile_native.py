@@ -65,6 +65,10 @@ def main():
                    help="zero-support split CQT kernel (cqt_fused_split)")
     p.add_argument("--cqt-block", type=int, default=None,
                    help="override CQTConfig.batch_block (Pallas grid rows)")
+    p.add_argument("--w1-conv", default="slim", choices=["slim", "full"],
+                   help="width-1 conv contraction (ModelConfig.w1_conv): "
+                        "'slim' drops the structurally-zero 3x3 side "
+                        "columns on the 6x1/3x1 tail stages")
     args = p.parse_args()
     if args.cqt_only:
         args.mode = "cqt"
@@ -78,7 +82,7 @@ def main():
         gemm_split=args.gemm_split, batch_block=args.cqt_block,
     )
     frontend = CQTFrontend(cqt_cfg)
-    model_cfg = ModelConfig(arch="resnet18_native")
+    model_cfg = ModelConfig(arch="resnet18_native", w1_conv=args.w1_conv)
     model = build_model(model_cfg)
     preprocess = make_preprocess(model_cfg)
     rng = np.random.default_rng(0)

@@ -14,8 +14,10 @@ from typing import Any, IO
 
 
 class MetricsLogger:
-    def __init__(self, path: str | None = None, stream: IO = sys.stdout):
+    def __init__(self, path: str | None = None, stream: IO | None = None):
         self.path = path
+        # None = resolve sys.stdout at CALL time: a default bound at
+        # import time can be a since-closed capture file (pytest capsys).
         self.stream = stream
         self._file = open(path, "a") if path else None
         self._t0 = time.time()
@@ -36,7 +38,11 @@ class MetricsLogger:
             for k, v in record.items()
             if k not in ("event", "t")
         )
-        print(f"[{record['t']:9.1f}s] {event}: {pretty}", file=self.stream)
+        stream = self.stream if self.stream is not None else sys.stdout
+        try:
+            print(f"[{record['t']:9.1f}s] {event}: {pretty}", file=stream)
+        except ValueError:  # closed stream (teardown race) — keep JSONL
+            pass
 
     def close(self) -> None:
         if self._file:

@@ -95,14 +95,15 @@ def test_synthetic_convergence_gate(capsys, tmp_path):
     frames, fret-0-heavy marginals), so the floor is high (~0.75) just
     like on real GuitarSet (~0.72 floor vs the published 0.773) — the
     old sparse-data gate barely exercised the argmax-to-lowest-fret
-    training behavior.  Measured 0.864 on the 8-device CPU mesh (floor
-    0.757); gated at floor+0.04 and 0.80 absolute to absorb
-    cross-platform jitter while failing on any real regression."""
+    training behavior.  Measured 0.833 on the 8-device CPU mesh (floor
+    0.740, +9.4 points; 24 tracks/15 epochs — the 16/10 recipe only
+    cleared the floor by +2.6); gated at floor+0.04 and 0.78 absolute to
+    absorb cross-platform jitter while failing on any real regression."""
     rc = train_main(
         [
-            "--synthetic", "--synthetic-tracks", "16",
+            "--synthetic", "--synthetic-tracks", "24",
             "--arch", "resnet18_native",
-            "--epochs", "10",
+            "--epochs", "15",
             "--batch-size", "32",
             "--learning-rate", "0.003",
             # isolated checkpoint dir: the repo-level default races with
@@ -116,9 +117,9 @@ def test_synthetic_convergence_gate(capsys, tmp_path):
     result = json.loads(out[-1])
     from guitar_tablature_classification_tpu.config import TrainConfig
 
-    floor = _majority_floor(TrainConfig(), 16)
+    floor = _majority_floor(TrainConfig(), 24)
     assert result["test_accuracy"] >= floor + 0.04, (result, floor)
-    assert result["test_accuracy"] >= 0.80, result
+    assert result["test_accuracy"] >= 0.78, result
 
 
 @pytest.mark.slow
@@ -128,11 +129,13 @@ def test_vit_convergence_gate(capsys, tmp_path):
     evidence).  A depth/width-scaled ViT (192x4 heads 6, 96^2 input,
     patch 8) trained with the full ViT recipe (AdamW, cosine warm
     restarts, backbone lr/10, smoothing 0.1) on the seeded synthetic
-    dataset must clear a locked test accuracy.  Measured 0.661 at 10
-    epochs / ~0.60 at 5 on the 8-device CPU mesh (chance ~5%); gate at
-    0.40 to absorb cross-platform jitter while failing on any real
-    ViT-training regression.  The full-size ViT-S/8 accuracy row lives
-    in DESIGN.md (trained on hardware)."""
+    dataset must clear a locked test accuracy.  On the round-4
+    GuitarSet-faithful data the all-fret-0 floor is ~0.74 and the
+    scaled-down from-scratch ViT trains to within 2 points of it in 5
+    epochs (the CNN gate is the above-floor learning proof; this one
+    locks the ViT training stack against regression — an untrained or
+    broken stack scores ~0.05-0.3).  The full-size ViT-S/8 accuracy row
+    lives in DESIGN.md (trained on hardware)."""
     cfg = {
         "model": {
             "arch": "vit_s8", "vit_hidden": 192, "vit_layers": 4,
@@ -173,10 +176,10 @@ def test_vit_native_convergence_gate(capsys, tmp_path):
     """vit_native (rectangular patches straight off the 96x9 CQT — the
     ViT twin of resnet18_native) learning gate: the same depth/width-
     scaled ViT as the vit_s8 gate, but at native resolution (37 tokens
-    vs 145), through the full ViT recipe.  Measured 0.656 at 5 epochs on
-    the 8-device CPU mesh (vs 0.661 for the 96^2 upsampled gate —
-    the upsample adds no information); gate at 0.40 to absorb
-    cross-platform jitter while failing on any real regression."""
+    vs 145), through the full ViT recipe.  Same gate semantics as the
+    vit_s8 gate on the round-4 GuitarSet-faithful data: within 2 points
+    of the ~0.74 all-fret-0 floor and >= 0.70 absolute (regression lock;
+    the hardware rows in DESIGN.md are the accuracy evidence)."""
     cfg = {
         "model": {
             "arch": "vit_native", "vit_hidden": 192, "vit_layers": 4,

@@ -62,8 +62,11 @@ class Transcriber:
         # Each bucket compiles once (jit caches by shape).  Under a mesh,
         # every bucket must divide over the data axis, so buckets are
         # filtered accordingly (falling back to just batch_size).
+        # The 1-bucket ships since round 4: a single streaming window
+        # measured 53.1 ms/feed vs 73.2 with the 8-row pad (same-session
+        # A/B, tools/bench_serve.py stream_chunk_feed_ms_bucket1).
         if bucket_sizes is None:
-            bucket_sizes = (8, 32, batch_size)
+            bucket_sizes = (1, 8, 32, batch_size)
         buckets = sorted({min(int(b), batch_size) for b in bucket_sizes})
         if mesh is not None:
             dp = int(np.prod([mesh.shape[a] for a in mesh.axis_names

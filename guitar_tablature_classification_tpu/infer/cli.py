@@ -26,9 +26,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("audio", help="input audio file (WAV; MP3 with ffmpeg)")
     p.add_argument("--model", default=None,
                    help="checkpoint: Orbax dir or reference .pt file")
-    p.add_argument("--arch", default="resnet18",
+    p.add_argument("--arch", default=None,
                    choices=["resnet18", "resnet18_native", "vit_s8",
-                            "vit_native", "small_cnn"])
+                            "vit_native", "small_cnn"],
+                   help="architecture (default resnet18; mutually "
+                        "exclusive with --recipe)")
+    p.add_argument("--recipe", default=None,
+                   choices=["cnn-reference", "vit-reference",
+                            "native-best", "vit-small-data"],
+                   help="named training preset (config.RECIPES): serve "
+                        "a checkpoint trained with `tab-train --recipe X`"
+                        " using the matching model config (e.g. "
+                        "vit-small-data = vit_native with (16,3) patches)")
     p.add_argument("--output", default=None, help="output .txt path")
     p.add_argument("--image", default=None, help="render tab image PNG")
     p.add_argument("--visualize", default=None,
@@ -50,14 +59,23 @@ def build_parser() -> argparse.ArgumentParser:
 def load_transcriber(args):
     import dataclasses
 
-    from ..config import CQTConfig, ModelConfig
+    from ..config import CQTConfig, ModelConfig, RECIPES
     from .transcribe import Transcriber, transcriber_from_torch_checkpoint
 
-    base = (
-        CQTConfig.serving_cnn()
-        if getattr(args, "serving_recipe", False)
-        else CQTConfig()
-    )
+    if args.recipe is not None and args.arch is not None:
+        raise SystemExit("--recipe implies an arch; pass one or the other")
+    if args.recipe is not None:
+        # serve with the same model/CQT config the preset trained with
+        recipe_cfg = RECIPES[args.recipe]()
+        model_cfg = recipe_cfg.model
+        base = recipe_cfg.cqt
+    else:
+        model_cfg = ModelConfig(arch=args.arch or "resnet18")
+        base = (
+            CQTConfig.serving_cnn()
+            if getattr(args, "serving_recipe", False)
+            else CQTConfig()
+        )
     cqt_cfg = dataclasses.replace(
         base,
         window_seconds=args.segment_duration,
@@ -65,10 +83,9 @@ def load_transcriber(args):
     )
     if args.model and args.model.endswith(".pt"):
         return transcriber_from_torch_checkpoint(
-            args.model, arch=args.arch, cqt_cfg=cqt_cfg,
-            batch_size=args.batch_size,
+            args.model, arch=model_cfg.arch, model_cfg=model_cfg,
+            cqt_cfg=cqt_cfg, batch_size=args.batch_size,
         )
-    model_cfg = ModelConfig(arch=args.arch)
     if args.model:  # Orbax checkpoint directory
         import jax
 

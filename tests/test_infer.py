@@ -192,6 +192,44 @@ def test_cli_serving_recipe(tmp_path):
     assert (tmp_path / "out.txt").exists()
 
 
+def test_cli_recipe_preset_serving(tmp_path):
+    """`tab-transcribe --recipe vit-small-data` serves with the preset's
+    model config (vit_native, (16,3) patches) — without it a
+    vit-small-data-trained checkpoint couldn't be loaded (no CLI knob
+    set vit_patch)."""
+    import pytest
+    from scipy.io import wavfile
+
+    from guitar_tablature_classification_tpu.infer import cli
+
+    cfg = CQTConfig()
+    tracks = make_synthetic_dataset(
+        np.random.default_rng(2), num_tracks=1, duration=0.8, cfg=cfg
+    )
+    wav = tmp_path / "demo.wav"
+    wavfile.write(
+        str(wav), cfg.sample_rate,
+        (tracks[0]["audio"] * 32767).astype(np.int16),
+    )
+    args = cli.build_parser().parse_args(
+        [str(wav), "--recipe", "vit-small-data", "--batch-size", "4"]
+    )
+    transcriber = cli.load_transcriber(args)
+    assert transcriber.model_cfg.arch == "vit_native"
+    assert transcriber.model_cfg.vit_patch == 16
+    result = transcriber.transcribe(
+        tracks[0]["audio"], smooth_window=0
+    )
+    assert result.frets.shape[1] == 6
+
+    # --recipe and --arch are mutually exclusive
+    args = cli.build_parser().parse_args(
+        [str(wav), "--recipe", "native-best", "--arch", "vit_s8"]
+    )
+    with pytest.raises(SystemExit):
+        cli.load_transcriber(args)
+
+
 def test_streaming_matches_offline(transcriber):
     """Chunked feeds produce exactly the offline transcription."""
     from guitar_tablature_classification_tpu.infer import StreamingTranscriber

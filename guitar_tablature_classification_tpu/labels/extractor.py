@@ -228,12 +228,22 @@ class GuitarTablatureExtractor:
         files = sorted(
             f for f in os.listdir(self.output_dir) if f.endswith(".npy")
         )
+        from .tablature import midi_to_tablature_first_fit
+
         rng = np.random.default_rng(seed)
         if len(files) > sample_size:
             files = [files[i] for i in rng.choice(len(files), sample_size, False)]
+        # reachable (string, fret) support of the first-fit rule — the
+        # shipped fixtures' signature (round 4); marks outside it mean
+        # the labels were NOT produced with the default convention.
+        support = np.zeros((6, 19), bool)
+        support[:, 0] = True
+        for midi in range(30, 110):
+            support |= midi_to_tablature_first_fit([float(midi)]).astype(bool)
         empty = with_notes = 0
         notes_per_frame = []
         rows_with_multi = 0
+        support_violations = 0
         for fname in files:
             tab = np.load(os.path.join(self.output_dir, fname))
             marks = int(tab.sum())
@@ -244,6 +254,8 @@ class GuitarTablatureExtractor:
                 empty += 1
             if (tab.sum(axis=1) >= 2).any():
                 rows_with_multi += 1
+            if (tab.astype(bool) & ~support).any():
+                support_violations += 1
         n = max(len(files), 1)
         return {
             "sampled": len(files),
@@ -251,6 +263,7 @@ class GuitarTablatureExtractor:
             "with_notes_ratio": with_notes / n,
             "mean_marks_per_frame": float(np.mean(notes_per_frame)) if files else 0.0,
             "multi_mark_row_ratio": rows_with_multi / n,
+            "first_fit_support_violations": support_violations,
         }
 
 

@@ -180,6 +180,11 @@ class ModelConfig:
     #             exactly once per direction as bf16, and no XLA op ever
     #             sees it (which removes the layout-conversion failure
     #             mode of "on").  See DESIGN.md round-2 study.
+    # For arch="resnet18_native", "fused" selects the native-geometry
+    # fused stem instead (ops/stem_native.py): conv1 as two row-parity
+    # stride-(4,2) convs + one-pass Pallas stats and BN/ReLU/maxpool
+    # kernels over the [48, 5, 64] conv1 output ("on" has no native
+    # meaning and is ignored there).
     stem_fusion: str = "off"  # on | off | fused
     # Fused trunk BatchNorms (ops/bn_pallas.py): every ResNet BN's
     # training-mode stat reductions (fwd mean/var, bwd sum(g)/sum(g·y))

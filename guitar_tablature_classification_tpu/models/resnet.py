@@ -239,6 +239,63 @@ class _QuadrantBNReLUPool(nn.Module):
         return pooled.astype(self.dtype)
 
 
+class _NativeBNReLUPool(nn.Module):
+    """bn1 + ReLU + 3x3/s2 max-pool as the fused NATIVE stem tail
+    (ops/stem_native.py) on row-parity conv1 output planes.
+
+    Declares the exact variable tree of ``nn.BatchNorm(name='bn1')``
+    (params: scale/bias, batch_stats: mean/var) so checkpoints and torch
+    import/export are unchanged.  Batch statistics (pad columns
+    excluded), running-average updates (momentum 0.9) and the
+    training-mode BN gradient all match flax semantics.
+    """
+
+    wreal: int  # real conv1 output width (pad columns masked)
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    impl: str = "auto"  # pallas | xla | auto (pallas on TPU)
+
+    @nn.compact
+    def __call__(self, ye, yo, train: bool):
+        from ..ops.stem_native import (
+            native_bn_relu_pool,
+            native_bn_relu_pool_train,
+        )
+
+        c = 64
+        scale = self.param(
+            "scale", nn.initializers.ones, (c,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        if train:
+            pooled, mean, var = native_bn_relu_pool_train(
+                ye, yo, scale, bias, self.wreal, self.epsilon, self.impl
+            )
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            pooled = native_bn_relu_pool(
+                ye, yo, ra_mean.value, ra_var.value, scale, bias,
+                self.wreal, self.epsilon, self.impl,
+            )
+        return pooled.astype(self.dtype)
+
+
 class ResNet18(nn.Module):
     """Feature extractor: [B, H, W, C] -> [B, num_features].
 
@@ -275,6 +332,14 @@ class ResNet18(nn.Module):
     # (Conv3x3 docstring): output-equal, trajectory-equal, 3x fewer FLOPs
     # on the native trunk's tail stages.  False = full-kernel baseline.
     slim_w1: bool = True
+    # Fused NATIVE stem (ops/stem_native.py): conv1 evaluated as two
+    # stride-(4,2) row-parity convs + one-pass Pallas stats and
+    # BN/ReLU/maxpool kernels (fwd and bwd) at the raw-CQT geometry.
+    # Same parameter/batch-stats tree as the unfused stem.
+    fused_native_stem: bool = False
+    # Extra over-padded conv1 output columns for the native fused stem
+    # (lane-width alignment; masked everywhere).  1 -> 384-lane layout.
+    native_stem_pad: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -308,6 +373,27 @@ class ResNet18(nn.Module):
             x = precomposed_conv1(
                 x[..., 0], kernel, out_size=self.fused_front, dtype=self.dtype
             )
+        elif self.fused_native_stem:
+            from ..ops.stem_native import conv1_parity_native, stem_geometry
+
+            if x.shape[-1] != self.input_channels:
+                raise ValueError(
+                    f"expected {self.input_channels} channels (NHWC), "
+                    f"got {x.shape}"
+                )
+            _, wreal = stem_geometry(x.shape[1], x.shape[2])
+            kernel = _Conv1Kernel(
+                in_channels=self.input_channels,
+                param_dtype=self.param_dtype,
+                name="conv1",
+            )()
+            ye, yo = conv1_parity_native(
+                x, kernel, w_pad=self.native_stem_pad, dtype=self.dtype
+            )
+            x = _NativeBNReLUPool(
+                wreal=wreal, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="bn1",
+            )(ye, yo, train)
         else:
             if x.shape[-1] != self.input_channels:
                 raise ValueError(
@@ -320,7 +406,7 @@ class ResNet18(nn.Module):
                 use_bias=False, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="conv1",
             )(x)
-        if not (fuse_stem and self.fused_tail):
+        if not (fuse_stem and self.fused_tail) and not self.fused_native_stem:
             norm_cls = FusedBatchNorm if self.fused_bn else nn.BatchNorm
             x = norm_cls(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

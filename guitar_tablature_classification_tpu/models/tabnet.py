@@ -38,6 +38,8 @@ class GuitarTabNet(nn.Module):
     fused_tail: bool = False  # Pallas BN/ReLU/pool stem tail (see ResNet18)
     fused_bn: bool = False  # Pallas trunk BatchNorms (see ResNet18)
     slim_w1: bool = True  # width-1 center-column convs (see Conv3x3)
+    fused_native_stem: bool = False  # Pallas native stem (see ResNet18)
+    native_stem_pad: int = 1  # lane-pad columns for the native stem
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,6 +49,8 @@ class GuitarTabNet(nn.Module):
             remat=self.remat, fused_front=self.fused_front,
             fused_tail=self.fused_tail, fused_bn=self.fused_bn,
             slim_w1=self.slim_w1,
+            fused_native_stem=self.fused_native_stem,
+            native_stem_pad=self.native_stem_pad,
             name="resnet",
         )(x, train=train)
         return StringBranchHeads(
@@ -187,6 +191,9 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             input_channels=1, dtype=dtype, param_dtype=param_dtype,
             remat=cfg.remat, fused_bn=cfg.bn_fusion == "on",
             slim_w1=cfg.w1_conv == "slim",
+            # "fused" at the native geometry = the row-parity conv1 split
+            # + one-pass Pallas stats/BN/ReLU/pool tail (ops/stem_native)
+            fused_native_stem=cfg.stem_fusion == "fused",
         )
     if cfg.arch == "small_cnn":
         return SmallTabCNN(

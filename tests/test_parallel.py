@@ -430,3 +430,66 @@ def test_mesh_sharded_serving():
     ).transcribe(audio, keep_logits=True)
     np.testing.assert_allclose(sharded.logits, single.logits, atol=1e-5)
     np.testing.assert_array_equal(sharded.frets, single.frets)
+
+
+@pytest.mark.slow
+def test_multidevice_native_fused_stem_matches_single_device():
+    """The native fused stem (stem_fusion='fused' on resnet18_native:
+    row-parity conv1 split + custom-VJP stats/BN/ReLU/pool tail, XLA
+    twin on CPU) through one train_step + one eval_step on the 8-device
+    mesh vs single device — sharding x custom-VJP coverage for the
+    round-4 fast path (mirrors the 224-square fused-stem test above)."""
+    from guitar_tablature_classification_tpu.train import make_eval_step
+
+    model_cfg = ModelConfig(arch="resnet18_native", stem_fusion="fused")
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    rng = np.random.default_rng(0)
+    feats = rng.uniform(-120, 0, (8, 96, 9)).astype(np.float32)
+    batch = {
+        "features": feats,
+        "labels": rng.integers(0, 19, (8, 6)).astype(np.int32),
+        "weights": np.ones((8, 6), np.float32),
+    }
+    state = create_train_state(
+        model, OptimConfig(), jax.random.PRNGKey(0),
+        preprocess(jnp.asarray(feats[:1])),
+    )
+    train_step = make_train_step(model, preprocess)
+    eval_step = make_eval_step(model, preprocess)
+    s1, m1 = train_step(state, batch, jax.random.PRNGKey(0), 5e-4)
+    e1 = eval_step(s1, batch)
+
+    mesh_cfg = MeshConfig(model_parallel=2)
+    mesh = make_mesh(mesh_cfg)
+    model2 = build_model(model_cfg)
+    state2 = create_train_state(
+        model2, OptimConfig(), jax.random.PRNGKey(0),
+        preprocess(jnp.asarray(feats[:1])),
+    )
+    state2 = jax.device_put(state2, param_shardings(mesh, state2, mesh_cfg))
+    sharded_batch = shard_batch(mesh, batch, mesh_cfg)
+    train_step2 = make_train_step(model2, preprocess)
+    eval_step2 = make_eval_step(model2, preprocess)
+    s2, m2 = train_step2(state2, sharded_batch, jax.random.PRNGKey(0), 5e-4)
+    e2 = eval_step2(s2, sharded_batch)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        float(e1["loss"]), float(e2["loss"]), rtol=1e-2
+    )
+    # bf16 near-tie logits can flip an argmax across shardings; with 8
+    # random-init samples the logits are all near zero, so allow two
+    # flips per string (observed in practice; loss parity above is the
+    # real sharding check).
+    np.testing.assert_allclose(
+        np.asarray(e1["per_string_accuracy"]),
+        np.asarray(e2["per_string_accuracy"]),
+        atol=0.26,
+    )
+    # conv1 kernel (consumed by both parity convs) updated equally
+    k1 = np.asarray(s1.params["resnet"]["conv1"]["kernel"])
+    k2 = np.asarray(s2.params["resnet"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=2e-3)

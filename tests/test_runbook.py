@@ -112,6 +112,39 @@ def test_runbook_with_shipped_fixtures(tmp_path, capsys):
     assert not (work / "labels").exists()  # nothing regenerated
 
 
+@pytest.mark.slow
+def test_runbook_with_recipe(tmp_path, capsys):
+    """--recipe: train with a named preset (config.RECIPES) instead of
+    --arch; explicit hyperparameter flags still override the preset's."""
+    import run_guitarset
+
+    audio_dir, jams_dir = _write_tree(tmp_path, num_tracks=2, duration=1.2)
+    work = tmp_path / "work"
+    rc = run_guitarset.main([
+        "--audio", str(audio_dir),
+        "--annotation", str(jams_dir),
+        "--workdir", str(work),
+        "--recipe", "vit-small-data",
+        "--epochs", "2",
+        "--batch-size", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "exact match" in out
+    assert "    mean |" in out
+    # ViT recipes use the reference's ViT checkpoint name
+    assert (work / "checkpoints" / "best_vit_guitar_tab_model").exists()
+
+    with pytest.raises(SystemExit):
+        run_guitarset.main([
+            "--audio", str(audio_dir),
+            "--annotation", str(jams_dir),
+            "--workdir", str(work),
+            "--recipe", "vit-small-data",
+            "--arch", "small_cnn",
+        ])
+
+
 def test_runbook_pairing_audit_intersection(tmp_path, capsys):
     """Divergent feature/label sets: the audit lists them and trains on
     the materialized intersection instead of dying on the count assert."""

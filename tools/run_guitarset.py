@@ -151,13 +151,28 @@ def main(argv=None) -> int:
     p.add_argument("--fixtures", default=None,
                    help="use this shipped tablatures/ dir as labels "
                         "instead of regenerating from JAMS")
-    p.add_argument("--arch", default="resnet18_native")
-    p.add_argument("--epochs", type=int, default=20)
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--learning-rate", type=float, default=5e-4)
+    p.add_argument("--arch", default=None)
+    p.add_argument("--recipe", default=None,
+                   help="named preset (config.RECIPES, e.g. native-best, "
+                        "vit-small-data) instead of --arch; its training "
+                        "hyperparameters apply unless overridden here")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--cqt-batch", type=int, default=512)
     p.add_argument("--report-dir", default=None)
     args = p.parse_args(argv)
+
+    if args.recipe is not None and args.arch is not None:
+        raise SystemExit("--recipe implies an arch; pass one or the other")
+    if args.recipe is None:
+        # historical runbook defaults (the reference recipe's literals)
+        args.arch = args.arch or "resnet18_native"
+        args.epochs = 20 if args.epochs is None else args.epochs
+        args.batch_size = 64 if args.batch_size is None else args.batch_size
+        args.learning_rate = (
+            5e-4 if args.learning_rate is None else args.learning_rate
+        )
 
     from guitar_tablature_classification_tpu.labels.extractor import (
         GuitarTablatureExtractor,
@@ -209,12 +224,19 @@ def main(argv=None) -> int:
     train_argv = [
         "--features", features_dir,
         "--labels", labels_dir,
-        "--arch", args.arch,
-        "--epochs", str(args.epochs),
-        "--batch-size", str(args.batch_size),
-        "--learning-rate", str(args.learning_rate),
         "--checkpoint-dir", ckpt_dir,
     ]
+    if args.recipe is not None:
+        train_argv += ["--recipe", args.recipe]
+    else:
+        train_argv += ["--arch", args.arch]
+    for flag, val in (
+        ("--epochs", args.epochs),
+        ("--batch-size", args.batch_size),
+        ("--learning-rate", args.learning_rate),
+    ):
+        if val is not None:
+            train_argv += [flag, str(val)]
     if args.report_dir:
         train_argv += ["--report-dir", args.report_dir]
 

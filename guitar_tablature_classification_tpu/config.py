@@ -184,7 +184,12 @@ class ModelConfig:
     # fused stem instead (ops/stem_native.py): conv1 as two row-parity
     # stride-(4,2) convs + one-pass Pallas stats and BN/ReLU/maxpool
     # kernels over the [48, 5, 64] conv1 output ("on" has no native
-    # meaning and is ignored there).
+    # meaning and is ignored there).  NOTE: on the native geometry this
+    # is a measured LOSS (30.3-30.9 vs 24.36 ms full model at B=8192 —
+    # the tail kernels are launch-bound at 24-row blocks and Mosaic
+    # OOMs every larger block; DESIGN.md round 4b).  "fused" is the
+    # right default only for the 224² archs; native archs should keep
+    # "off".
     stem_fusion: str = "off"  # on | off | fused
     # Fused trunk BatchNorms (ops/bn_pallas.py): every ResNet BN's
     # training-mode stat reductions (fwd mean/var, bwd sum(g)/sum(g·y))

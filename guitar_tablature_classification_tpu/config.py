@@ -205,9 +205,20 @@ class ModelConfig:
     # trunk's 6x1/3x1 tail stages a 3x3 conv's side kernel columns only
     # ever multiply zero padding; "slim" contracts the center column
     # only — output-equal, trajectory-equal, ~1/3 of the trunk conv
-    # FLOPs dropped (exact zeros only).  "full" forces the dense 3x3
-    # contraction (the A/B baseline).  No effect on 224^2 inputs.
-    w1_conv: str = "slim"  # slim | full
+    # FLOPs dropped (exact zeros only).  "dense" (default) additionally
+    # rewrites the 3x1 stride-1 convs (layer4's three 512-ch convs at
+    # native geometry) as one banded-dense GEMM [B, 3C] @ [3C, 3F] whose
+    # M dimension is the raw batch — the feature map never splits into
+    # 3-row tiles that waste 62 % of the MXU sublanes; other width-1
+    # convs fall back to "slim".  Measured 23.88 vs 24.18 ms/step
+    # same-session at B=8192 (isolated layer4 stack 4.70 vs 5.19 ms),
+    # exact outputs and gradients (probe_w1_gemm.py / DESIGN.md round
+    # 4c).  "gemm" computes every width-1 contraction as a row-stacked
+    # GEMM ([B*h_out, 3C] @ [3C, F]) — measured SLOWER (31.6 ms: the
+    # stack/pad data movement costs more than the sublane fill saves)
+    # and kept as the rejected A/B arm.  "full" forces the dense 3x3
+    # contraction (the parity baseline).  No effect on 224^2 inputs.
+    w1_conv: str = "dense"  # dense | slim | gemm | full
     # GELU flavor: the reference's HF ViT uses exact erf-GELU, whose
     # transcendental costs ~18 ms/step at B=64 on the VPU.  The tanh
     # approximation's max abs error (~3e-4) is below bf16 activation

@@ -90,19 +90,39 @@ class Conv3x3(nn.Module):
     output and receive zero gradients — the model-side analogue of the
     CQT kernel's zero-support split (DESIGN.md round 3).  This module
     declares the full (3, 3, in, out) kernel (identical variable tree,
-    checkpoints and torch import/export) but contracts only the center
-    column when the input width is 1 — 3x fewer FLOPs on those convs
-    with outputs equal to the full conv (same terms, the dropped ones
-    are exact zeros) and an identical training trajectory (the side
-    columns' gradients were already zero).  ``slim=False`` forces the
-    full contraction (the A/B baseline; tests assert parity).
+    checkpoints and torch import/export) but on width-1 inputs contracts
+    only the center column — 3x fewer FLOPs on those convs with outputs
+    equal to the full conv (same terms, the dropped ones are exact
+    zeros) and an identical training trajectory (the side columns'
+    gradients were already zero).
+
+    ``mode`` picks the width-1 contraction's formulation:
+
+    - ``"slim"``  — center-column ``lax.conv`` (kernel ``[3,1,C,F]``).
+      XLA still tiles the 3-6-row feature maps onto 8-sublane registers,
+      wasting 25-62 % of the MXU rows at these heights.
+    - ``"gemm"``  — the same center-column contraction as one explicit
+      row-stacked GEMM ``[B*h_out, 3C] @ [3C, F]`` (the three height
+      taps stacked along channels), so the M dimension is batch-major
+      and fills sublanes regardless of feature-map height — the
+      round-3 VERDICT's "batch-major packing" lever, measured in
+      tools/probe_w1_gemm.py / DESIGN.md round 4.
+    - ``"dense"`` — on 3x1 stride-1 maps only (layer4's three 512-ch
+      convs at the native geometry), the whole feature map is one
+      feature vector and the conv is a single banded-dense GEMM
+      ``[B, 3C] @ [3C, 3F]`` (band block (j, i) = kernel tap i-j+1,
+      off-band blocks zero): M is the raw batch, the map never splits
+      into rows at all, and the MAC count is identical (h = h_out = 3).
+      Other width-1 convs fall back to "slim".
+    - ``"full"``  — force the dense 3x3 contraction everywhere (the
+      A/B baseline; tests assert parity).
     """
 
     features: int
     strides: int = 1
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
-    slim: bool = True
+    mode: str = "dense"  # dense | slim | gemm | full
 
     @nn.compact
     def __call__(self, x):
@@ -113,7 +133,53 @@ class Conv3x3(nn.Module):
             self.param_dtype,
         )
         x = x.astype(self.dtype)
-        if self.slim and x.shape[2] == 1:
+        if (
+            self.mode == "dense"
+            and x.shape[1:3] == (3, 1)
+            and self.strides == 1
+        ):
+            b, _, _, c = x.shape
+            f = self.features
+            kc = kernel[:, 1].astype(self.dtype)  # [3, C, F]
+            zero = jnp.zeros((c, f), self.dtype)
+            # y[i] = sum_t kc[t] . x[i + t - 1] (cross-correlation, pad
+            # 1): input row j feeds output row i through tap
+            # t = j - i + 1 when in range.
+            w = jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [
+                            kc[j - i + 1] if 0 <= j - i + 1 < 3 else zero
+                            for i in range(3)
+                        ],
+                        axis=1,
+                    )
+                    for j in range(3)
+                ],
+                axis=0,
+            )  # [3C, 3F]
+            y = x.reshape(b, 3 * c) @ w
+            return y.reshape(b, 3, 1, f)
+        if self.mode == "gemm" and x.shape[2] == 1:
+            b, h, _, c = x.shape
+            s = self.strides
+            h_out = (h - 1) // s + 1  # pad (1,1), kernel height 3
+            xp = jnp.pad(x[:, :, 0], ((0, 0), (1, 1), (0, 0)))
+            # Height tap t of output row i reads padded row s*i + t:
+            # stack the three strided row-slices along channels.
+            taps = jnp.stack(
+                [
+                    jax.lax.slice_in_dim(
+                        xp, t, t + s * (h_out - 1) + 1, s, axis=1
+                    )
+                    for t in range(3)
+                ],
+                axis=2,
+            )  # [B, h_out, 3, C] — tap-major, matching kernel.reshape
+            kc = kernel[:, 1].astype(self.dtype).reshape(3 * c, self.features)
+            y = taps.reshape(b * h_out, 3 * c) @ kc
+            return y.reshape(b, h_out, 1, self.features)
+        if self.mode != "full" and x.shape[2] == 1:
             kernel, pad_w = kernel[:, 1:2], (0, 0)
         else:
             pad_w = (1, 1)
@@ -134,13 +200,13 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     fused_bn: bool = False
-    slim_w1: bool = True  # center-column contraction on width-1 maps
+    w1_conv: str = "dense"  # width-1 contraction mode (see Conv3x3)
 
     @nn.compact
     def __call__(self, x, train: bool):
         conv = lambda f, s, name: Conv3x3(  # noqa: E731
             f, strides=s, dtype=self.dtype, param_dtype=self.param_dtype,
-            slim=self.slim_w1, name=name,
+            mode=self.w1_conv, name=name,
         )
         norm_cls = FusedBatchNorm if self.fused_bn else nn.BatchNorm
         norm = lambda name: norm_cls(  # noqa: E731
@@ -328,10 +394,14 @@ class ResNet18(nn.Module):
     # trunk BN (and the stem bn1 when the fused tail isn't handling it).
     # Same variable tree as nn.BatchNorm.
     fused_bn: bool = False
-    # Center-column contraction for 3x3 convs on width-1 feature maps
-    # (Conv3x3 docstring): output-equal, trajectory-equal, 3x fewer FLOPs
-    # on the native trunk's tail stages.  False = full-kernel baseline.
-    slim_w1: bool = True
+    # Width-1 3x3 conv formulation (Conv3x3 docstring): "dense"
+    # (default) = banded-dense GEMM on the 3x1 stride-1 tail convs with
+    # "slim" (center-column lax.conv) elsewhere — output-equal,
+    # trajectory-equal, measured fastest (DESIGN.md round 4c); "gemm" =
+    # every width-1 contraction as a batch-major row-stacked GEMM
+    # (measured slower, kept as the A/B arm); "full" = dense 3x3
+    # baseline.
+    w1_conv: str = "dense"
     # Fused NATIVE stem (ops/stem_native.py): conv1 evaluated as two
     # stride-(4,2) row-parity convs + one-pass Pallas stats and
     # BN/ReLU/maxpool kernels (fwd and bwd) at the raw-CQT geometry.
@@ -428,7 +498,7 @@ class ResNet18(nn.Module):
                 x = block_cls(
                     filters, strides, dtype=self.dtype,
                     param_dtype=self.param_dtype, fused_bn=self.fused_bn,
-                    slim_w1=self.slim_w1,
+                    w1_conv=self.w1_conv,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
 

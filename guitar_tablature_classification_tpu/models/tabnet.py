@@ -37,7 +37,7 @@ class GuitarTabNet(nn.Module):
     fused_front: int | None = None  # precomposed stem front (see ResNet18)
     fused_tail: bool = False  # Pallas BN/ReLU/pool stem tail (see ResNet18)
     fused_bn: bool = False  # Pallas trunk BatchNorms (see ResNet18)
-    slim_w1: bool = True  # width-1 center-column convs (see Conv3x3)
+    w1_conv: str = "dense"  # width-1 conv formulation (see Conv3x3)
     fused_native_stem: bool = False  # Pallas native stem (see ResNet18)
     native_stem_pad: int = 1  # lane-pad columns for the native stem
 
@@ -48,7 +48,7 @@ class GuitarTabNet(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
             remat=self.remat, fused_front=self.fused_front,
             fused_tail=self.fused_tail, fused_bn=self.fused_bn,
-            slim_w1=self.slim_w1,
+            w1_conv=self.w1_conv,
             fused_native_stem=self.fused_native_stem,
             native_stem_pad=self.native_stem_pad,
             name="resnet",
@@ -142,6 +142,11 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         raise ValueError(
             f"bn_fusion must be 'on' or 'off', got {cfg.bn_fusion!r}"
         )
+    if cfg.w1_conv not in ("slim", "gemm", "dense", "full"):
+        raise ValueError(
+            "w1_conv must be 'slim', 'gemm', 'dense' or 'full', "
+            f"got {cfg.w1_conv!r}"
+        )
     if cfg.arch == "resnet18":
         return GuitarTabNet(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
@@ -190,7 +195,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
             input_channels=1, dtype=dtype, param_dtype=param_dtype,
             remat=cfg.remat, fused_bn=cfg.bn_fusion == "on",
-            slim_w1=cfg.w1_conv == "slim",
+            w1_conv=cfg.w1_conv,
             # "fused" at the native geometry = the row-parity conv1 split
             # + one-pass Pallas stats/BN/ReLU/pool tail (ops/stem_native)
             fused_native_stem=cfg.stem_fusion == "fused",

@@ -393,18 +393,21 @@ def test_resnet18_native_variant():
     assert y.shape == (2, 6, 19)
 
 
-def test_w1_slim_conv_matches_full():
-    """The width-1 center-column contraction (ModelConfig.w1_conv="slim",
+@pytest.mark.parametrize("mode", ["slim", "gemm", "dense"])
+def test_w1_conv_matches_full(mode):
+    """The width-1 center-column contraction (ModelConfig.w1_conv,
     models/resnet.py Conv3x3) must equal the full 3x3 conv on the native
     trunk: the dropped kernel columns only ever multiply zero padding.
-    Checked on forward logits AND parameter gradients with shared
-    weights."""
+    Both formulations — "slim" (center-column lax.conv) and "gemm" (the
+    same contraction as one batch-major row-stacked GEMM) — are checked
+    on forward logits AND parameter gradients with shared weights."""
     from guitar_tablature_classification_tpu.ops import (
         label_smoothing_loss,
     )
     from guitar_tablature_classification_tpu.train import make_preprocess
 
-    cfg_slim = ModelConfig(arch="resnet18_native", dtype="float32")
+    cfg_slim = ModelConfig(arch="resnet18_native", dtype="float32",
+                           w1_conv=mode)
     cfg_full = ModelConfig(
         arch="resnet18_native", dtype="float32", w1_conv="full"
     )

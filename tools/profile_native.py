@@ -65,7 +65,8 @@ def main():
                    help="zero-support split CQT kernel (cqt_fused_split)")
     p.add_argument("--cqt-block", type=int, default=None,
                    help="override CQTConfig.batch_block (Pallas grid rows)")
-    p.add_argument("--w1-conv", default="slim", choices=["slim", "full"],
+    p.add_argument("--w1-conv", default="dense",
+                   choices=["dense", "slim", "gemm", "full"],
                    help="width-1 conv contraction (ModelConfig.w1_conv): "
                         "'slim' drops the structurally-zero 3x3 side "
                         "columns on the 6x1/3x1 tail stages")

@@ -81,7 +81,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--w1-conv", default="slim", choices=["slim", "full"])
+    p.add_argument("--w1-conv", default="dense",
+                   choices=["dense", "slim", "gemm", "full"])
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -90,7 +91,6 @@ def main():
     )
     print(f"device: {jax.devices()}  B={args.batch}", flush=True)
 
-    slim = args.w1_conv == "slim"
     stacks = [
         ("stem only", ()),
         ("stem+layer1", (2,)),
@@ -102,7 +102,7 @@ def main():
     for name, stages in stacks:
         trunk = ResNet18(
             num_features=None, input_channels=1, stage_sizes=stages,
-            slim_w1=slim,
+            w1_conv=args.w1_conv,
         )
         ms = time_stack(name, trunk, x, args.steps)
         if prev:

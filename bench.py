@@ -56,8 +56,8 @@ TIMED_STEPS = 20
 # zero-support split kernel the BIT-EXACT (precision="highest") CQT
 # runs at the former bf16x3 speed, so the variant reports the
 # spec-exact recipe; --cqt-precision default remains the max-throughput
-# knob (261.0k seg/s at B=4096, 268.1k at B=16384 with the round-3b
-# chunk-contraction kernel + round-4 width-1 slim convs) — see
+# knob (265.8k seg/s at B=4096, 271.9k at B=16384 with the round-3b
+# chunk-contraction kernel + round-4c width-1 dense convs) — see
 # DESIGN.md round-3/4 studies.
 NATIVE_BATCH = 4096
 
@@ -138,8 +138,8 @@ def measure_native_variant():
         "model": "resnet18_native+string_heads bf16, 96x9 (no upsample)",
         "cqt_precision": (
             "highest (bit-exact golden; chunked split kernel + width-1 "
-            "slim convs) — --cqt-precision default reaches 261.0k "
-            "seg/s (B=4096), 268.1k (B=16384)"
+            "dense convs) — --cqt-precision default reaches 265.8k "
+            "seg/s (B=4096), 271.9k (B=16384)"
         ),
     }
 

@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="zero-support split CQT kernel: ~1.4x faster "
                         "frontend dropping exactly-zero GEMM terms only "
                         "(CQTConfig.gemm_split; see DESIGN.md)")
+    p.add_argument("--augment", action="store_true", default=None,
+                   help="enable the spectrogram augmentation suite "
+                        "(OptimConfig.augment; ViT_engine.py:28-93 "
+                        "equivalents — measured per-arch effects in "
+                        "DESIGN.md's C12 matrix)")
+    p.add_argument("--augment-prob", type=float, default=None,
+                   help="per-window augmentation probability "
+                        "(OptimConfig.augment_prob, default 0.5)")
     return p
 
 
@@ -106,6 +114,10 @@ def make_config(args):
         optim = dataclasses.replace(optim, epochs=args.epochs)
     if args.learning_rate is not None:
         optim = dataclasses.replace(optim, learning_rate=args.learning_rate)
+    if getattr(args, "augment", None):
+        optim = dataclasses.replace(optim, augment=True)
+    if getattr(args, "augment_prob", None) is not None:
+        optim = dataclasses.replace(optim, augment_prob=args.augment_prob)
     data = cfg.data
     if args.batch_size is not None:
         data = dataclasses.replace(data, batch_size=args.batch_size)

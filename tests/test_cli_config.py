@@ -32,6 +32,19 @@ def test_perf_knob_flags_plumb_through():
     assert cfg.cqt.gemm_split == "off"
 
 
+def test_augment_flags_plumb_through():
+    """--augment / --augment-prob map to OptimConfig (the C12 suite was
+    previously reachable only through a JSON --config)."""
+    cfg = _make(["--synthetic"])
+    assert cfg.optim.augment is False  # default: off, like the reference
+    cfg = _make([
+        "--synthetic", "--recipe", "vit-small-data",
+        "--augment", "--augment-prob", "0.3",
+    ])
+    assert cfg.optim.augment is True
+    assert cfg.optim.augment_prob == 0.3
+
+
 def test_cqt_split_default_is_auto():
     cfg = _make(["--synthetic"])
     assert cfg.cqt.gemm_split == "auto"

@@ -160,6 +160,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--cqt-batch", type=int, default=512)
+    p.add_argument("--augment", action="store_true",
+                   help="enable the spectrogram augmentation suite "
+                        "(passed through to train.run)")
     p.add_argument("--report-dir", default=None)
     args = p.parse_args(argv)
 
@@ -237,6 +240,8 @@ def main(argv=None) -> int:
     ):
         if val is not None:
             train_argv += [flag, str(val)]
+    if args.augment:
+        train_argv += ["--augment"]
     if args.report_dir:
         train_argv += ["--report-dir", args.report_dir]
 

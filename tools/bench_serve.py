@@ -167,6 +167,32 @@ def main():
     native_dt = time.perf_counter() - t4
     native_value = nb * STEPS / native_dt
 
+    # Same native path with the default-tier CQT (`--serving-recipe`'s
+    # max-throughput knob: single-bf16 frame GEMM, 0.001 % gate flips —
+    # DESIGN.md precision study).  Forward-only serving is CQT-dominated
+    # (the model fwd is ~1/3 of the train step), so the tier matters
+    # MORE here than in training.
+    import dataclasses as _dc
+
+    fast_frontend = CQTFrontend(_dc.replace(cqt_cfg, precision="default"))
+
+    @partial(jax.jit, static_argnums=(2,))
+    def serve_native_fast(variables, audio, steps):
+        def body(acc, i):
+            logits = native_model.apply(
+                variables, native_pre(fast_frontend(audio[i % 2])),
+                train=False,
+            )
+            return acc + jnp.argmax(logits, -1).sum(), None
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), jnp.arange(steps))
+        return out
+
+    int(serve_native_fast(native_vars, native_audio, STEPS))
+    t4f = time.perf_counter()
+    int(serve_native_fast(native_vars, native_audio, STEPS))
+    native_fast_dt = time.perf_counter() - t4f
+    native_fast_value = nb * STEPS / native_fast_dt
+
     # -- vit_native: the transformer serving path (round 3c) — same raw
     # 96x9 CQT through rectangular (8,3) patches; token-aware auto
     # attention resolves to XLA at 37 tokens (DESIGN.md).
@@ -220,6 +246,12 @@ def main():
             "native_forward_ms": round(1e3 * native_dt / STEPS, 2),
             "native_audio_hours_per_minute": round(
                 native_value * 0.1 / 3600 * 60, 1
+            ),
+            "native_default_tier_windows_per_sec": round(
+                native_fast_value, 1
+            ),
+            "native_default_tier_forward_ms": round(
+                1e3 * native_fast_dt / STEPS, 2
             ),
             "vit_native_windows_per_sec": round(vitn_value, 1),
             "vit_native_batch": vb,

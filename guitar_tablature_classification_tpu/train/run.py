@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment-prob", type=float, default=None,
                    help="per-window augmentation probability "
                         "(OptimConfig.augment_prob, default 0.5)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="training seed (OptimConfig.seed: init, dropout, "
+                        "augmentation and synthetic-data streams; the "
+                        "data split keeps DataConfig.split_seed)")
     return p
 
 
@@ -118,6 +122,8 @@ def make_config(args):
         optim = dataclasses.replace(optim, augment=True)
     if getattr(args, "augment_prob", None) is not None:
         optim = dataclasses.replace(optim, augment_prob=args.augment_prob)
+    if getattr(args, "seed", None) is not None:
+        optim = dataclasses.replace(optim, seed=args.seed)
     data = cfg.data
     if args.batch_size is not None:
         data = dataclasses.replace(data, batch_size=args.batch_size)

@@ -45,6 +45,14 @@ def test_augment_flags_plumb_through():
     assert cfg.optim.augment_prob == 0.3
 
 
+def test_seed_flag_plumbs_through():
+    cfg = _make(["--synthetic"])
+    assert cfg.optim.seed == 42  # reference's set_seed default
+    cfg = _make(["--synthetic", "--seed", "43"])
+    assert cfg.optim.seed == 43
+    assert cfg.data.split_seed == 42  # split seed stays torch-parity
+
+
 def test_cqt_split_default_is_auto():
     cfg = _make(["--synthetic"])
     assert cfg.cqt.gemm_split == "auto"

@@ -163,6 +163,8 @@ def main(argv=None) -> int:
     p.add_argument("--augment", action="store_true",
                    help="enable the spectrogram augmentation suite "
                         "(passed through to train.run)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="training seed (passed through to train.run)")
     p.add_argument("--report-dir", default=None)
     args = p.parse_args(argv)
 
@@ -237,6 +239,7 @@ def main(argv=None) -> int:
         ("--epochs", args.epochs),
         ("--batch-size", args.batch_size),
         ("--learning-rate", args.learning_rate),
+        ("--seed", args.seed),
     ):
         if val is not None:
             train_argv += [flag, str(val)]

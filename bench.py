@@ -74,11 +74,15 @@ def build_pipeline():
     return cqt_cfg, frontend, model, preprocess
 
 
-def measure_native_variant():
-    """Train-step throughput of the resnet18_native recipe (bit-exact
-    split CQT), timed the same way as the headline (one scan, device
-    fetch)."""
-    cqt_cfg = CQTConfig()  # precision="highest": bit-exact golden CQT
+def measure_native_variant(precision: str = "highest"):
+    """Train-step throughput of the resnet18_native recipe, timed the
+    same way as the headline (one scan, device fetch).  Measured twice:
+    precision="highest" (bit-exact golden CQT) and "default" (the
+    max-throughput tier: single-bf16 frame GEMM, 0.001 % gate flips —
+    the `--recipe native-best` training tier)."""
+    import dataclasses
+
+    cqt_cfg = dataclasses.replace(CQTConfig(), precision=precision)
     model_cfg = ModelConfig(arch="resnet18_native")
     frontend = CQTFrontend(cqt_cfg)
     model = build_model(model_cfg)
@@ -136,11 +140,7 @@ def measure_native_variant():
         "step_ms": round(1e3 * elapsed / TIMED_STEPS, 2),
         "batch": NATIVE_BATCH,
         "model": "resnet18_native+string_heads bf16, 96x9 (no upsample)",
-        "cqt_precision": (
-            "highest (bit-exact golden; chunked split kernel + width-1 "
-            "dense convs) — --cqt-precision default reaches 265.8k "
-            "seg/s (B=4096), 271.9k (B=16384)"
-        ),
+        "cqt_precision": precision,
     }
 
 
@@ -199,6 +199,10 @@ def main():
         native = measure_native_variant()
     except Exception as e:  # noqa: BLE001 — secondary metric, never fatal
         native = {"error": str(e)[:200]}
+    try:
+        native_default = measure_native_variant(precision="default")
+    except Exception as e:  # noqa: BLE001
+        native_default = {"error": str(e)[:200]}
 
     print(
         json.dumps(
@@ -220,6 +224,7 @@ def main():
                     "model": "resnet18+string_heads bf16, 224x224",
                     "includes": "on-device CQT + preprocess + fwd/bwd/update",
                     "native_variant": native,
+                    "native_variant_default_tier": native_default,
                 },
             }
         )

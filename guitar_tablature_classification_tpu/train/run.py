@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="training seed (OptimConfig.seed: init, dropout, "
                         "augmentation and synthetic-data streams; the "
                         "data split keeps DataConfig.split_seed)")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: restore the checkpoint from "
+                        "--checkpoint-dir and run validation + test on "
+                        "the standard split (reference equivalent: the "
+                        "final test_model pass, bestengine.py:1090-1093, "
+                        "without retraining); honors --report-dir")
     return p
 
 
@@ -218,6 +224,55 @@ def main(argv=None) -> int:
 
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_name)
     from ..utils.profiling import trace
+
+    if args.eval_only:
+        import jax
+        import jax.numpy as jnp
+
+        from ..train import create_train_state, validate_model
+
+        if not ckpt.exists():
+            raise SystemExit(
+                f"--eval-only: no checkpoint in {cfg.checkpoint_dir}"
+            )
+        model = build_model(cfg.model)
+        peek = next(iter(val_loader))
+        input_kind = (
+            "rgb_image" if peek["features"].ndim == 4 else "db_features"
+        )
+        preprocess = make_preprocess(
+            cfg.model, cfg.data.image_size, input_kind
+        )
+        state = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(cfg.optim.seed),
+            preprocess(jnp.asarray(peek["features"][:1])),
+        )
+        state, meta = ckpt.restore(state)
+        eval_step = make_eval_step(
+            model, preprocess, smoothing=cfg.optim.label_smoothing
+        )
+        val = validate_model(state, eval_step, val_loader)
+        test = test_model(state, eval_step, test_loader)
+        logger.log(
+            "eval_only", val_loss=val["loss"], accuracy=test["accuracy"],
+            per_string=test["per_string_accuracy"],
+        )
+        print(json.dumps({
+            "test_accuracy": test["accuracy"],
+            "per_string": test["per_string_accuracy"].tolist(),
+            "val_loss": val["loss"],
+            "val_accuracy": val["accuracy"],
+            "checkpoint_step": int(state.step),
+        }))
+        if args.report_dir:
+            history = {"epochs": [], "train_loss": [], "val_loss": [],
+                       "val_accuracy": [], "lr": [],
+                       "best_val_loss": val["loss"]}
+            write_report(
+                args.report_dir, history, state, model, cfg, test_loader,
+                input_kind=input_kind,
+            )
+        return 0
 
     on_epoch_end = None
     if args.report_every:

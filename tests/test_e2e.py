@@ -84,6 +84,26 @@ def test_synthetic_training_learns(tmp_path, capsys):
     log_text = (tmp_path / "ckpt" / "train_log.jsonl").read_text()
     assert "resumed from epoch" in log_text
 
+    # eval-only: restore the best checkpoint and re-run val+test without
+    # training (the reference's final test_model pass,
+    # bestengine.py:1090-1093, as a standalone entry point)
+    rc = train_main(
+        [
+            "--synthetic", "--synthetic-tracks", "2",
+            "--arch", "small_cnn",
+            "--batch-size", "16",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--eval-only",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    result = json.loads(out[-1])
+    assert result["test_accuracy"] > 0.3, result
+    assert np.isfinite(result["val_loss"])
+    assert result["checkpoint_step"] > 0
+    assert "eval_only" in (tmp_path / "ckpt" / "train_log.jsonl").read_text()
+
 
 @pytest.mark.slow
 def test_synthetic_convergence_gate(capsys, tmp_path):

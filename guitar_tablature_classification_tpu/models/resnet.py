@@ -110,7 +110,7 @@ class Conv3x3(nn.Module):
     - ``"dense"`` — on 3x1 stride-1 maps only (layer4's three 512-ch
       convs at the native geometry), the whole feature map is one
       feature vector and the conv is a single banded-dense GEMM
-      ``[B, 3C] @ [3C, 3F]`` (band block (j, i) = kernel tap i-j+1,
+      ``[B, 3C] @ [3C, 3F]`` (band block (j, i) = kernel tap j-i+1,
       off-band blocks zero): M is the raw batch, the map never splits
       into rows at all, and the MAC count is identical (h = h_out = 3).
       Other width-1 convs fall back to "slim".
@@ -126,6 +126,13 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.mode not in ("dense", "slim", "gemm", "full"):
+            # Validate here, not only in build_model: a typo'd mode
+            # falling through to the "slim" catch-all below would
+            # silently mislabel an A/B measurement (the trap class
+            # CLAUDE.md documents).
+            raise ValueError(f"Conv3x3 mode must be dense|slim|gemm|full, "
+                             f"got {self.mode!r}")
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),

@@ -81,7 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "DESIGN.md's C12 matrix)")
     p.add_argument("--augment-prob", type=float, default=None,
                    help="per-window augmentation probability "
-                        "(OptimConfig.augment_prob, default 0.5)")
+                        "(OptimConfig.augment_prob, default 0.5; "
+                        "implies --augment)")
     p.add_argument("--seed", type=int, default=None,
                    help="training seed (OptimConfig.seed: init, dropout, "
                         "augmentation and synthetic-data streams; the "
@@ -127,7 +128,11 @@ def make_config(args):
     if getattr(args, "augment", None):
         optim = dataclasses.replace(optim, augment=True)
     if getattr(args, "augment_prob", None) is not None:
-        optim = dataclasses.replace(optim, augment_prob=args.augment_prob)
+        # Setting a probability is explicit intent — imply --augment so
+        # `--augment-prob 0.9` alone can't silently train unaugmented.
+        optim = dataclasses.replace(
+            optim, augment=True, augment_prob=args.augment_prob
+        )
     if getattr(args, "seed", None) is not None:
         optim = dataclasses.replace(optim, seed=args.seed)
     data = cfg.data

@@ -43,6 +43,11 @@ def test_augment_flags_plumb_through():
     ])
     assert cfg.optim.augment is True
     assert cfg.optim.augment_prob == 0.3
+    # --augment-prob alone implies --augment (a bare probability that
+    # silently trained unaugmented would poison A/B conclusions)
+    cfg = _make(["--synthetic", "--augment-prob", "0.9"])
+    assert cfg.optim.augment is True
+    assert cfg.optim.augment_prob == 0.9
 
 
 def test_seed_flag_plumbs_through():

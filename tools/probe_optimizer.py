@@ -43,7 +43,7 @@ import optax
 from guitar_tablature_classification_tpu.models.tabnet import GuitarTabNet
 
 
-def make_loss(model, stats0):
+def make_loss(model):
     def loss_fn(p, s, xin):
         out, mutated = model.apply(
             {"params": p, "batch_stats": s}, xin, train=True,
@@ -85,7 +85,7 @@ def main():
     model = GuitarTabNet(input_channels=1)
     variables = model.init(jax.random.PRNGKey(0), x[:8], train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})
-    loss_fn = make_loss(model, stats)
+    loss_fn = make_loss(model)
     n_leaves = len(jax.tree_util.tree_leaves(params))
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"{n_leaves} param leaves, {n_params / 1e6:.1f} M params",

@@ -174,24 +174,33 @@ def main():
     # MORE here than in training.
     import dataclasses as _dc
 
-    fast_frontend = CQTFrontend(_dc.replace(cqt_cfg, precision="default"))
+    def time_native_tier(precision):
+        frontend_t = CQTFrontend(_dc.replace(cqt_cfg, precision=precision))
 
-    @partial(jax.jit, static_argnums=(2,))
-    def serve_native_fast(variables, audio, steps):
-        def body(acc, i):
-            logits = native_model.apply(
-                variables, native_pre(fast_frontend(audio[i % 2])),
-                train=False,
+        @partial(jax.jit, static_argnums=(2,))
+        def serve_t(variables, audio, steps):
+            def body(acc, i):
+                logits = native_model.apply(
+                    variables, native_pre(frontend_t(audio[i % 2])),
+                    train=False,
+                )
+                return acc + jnp.argmax(logits, -1).sum(), None
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), jnp.arange(steps)
             )
-            return acc + jnp.argmax(logits, -1).sum(), None
-        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), jnp.arange(steps))
-        return out
+            return out
 
-    int(serve_native_fast(native_vars, native_audio, STEPS))
-    t4f = time.perf_counter()
-    int(serve_native_fast(native_vars, native_audio, STEPS))
-    native_fast_dt = time.perf_counter() - t4f
-    native_fast_value = nb * STEPS / native_fast_dt
+        int(serve_t(native_vars, native_audio, STEPS))
+        t = time.perf_counter()
+        int(serve_t(native_vars, native_audio, STEPS))
+        dt = time.perf_counter() - t
+        return nb * STEPS / dt, dt
+
+    # default = max-throughput (99.974 % prediction agreement), bf16x3 =
+    # fp32-grade (100.000 % agreement measured through a trained
+    # checkpoint — tools/probe_serving_tier_fidelity.py / DESIGN.md).
+    native_fast_value, native_fast_dt = time_native_tier("default")
+    native_x3_value, native_x3_dt = time_native_tier("bf16x3")
 
     # -- vit_native: the transformer serving path (round 3c) — same raw
     # 96x9 CQT through rectangular (8,3) patches; token-aware auto
@@ -252,6 +261,12 @@ def main():
             ),
             "native_default_tier_forward_ms": round(
                 1e3 * native_fast_dt / STEPS, 2
+            ),
+            "native_bf16x3_tier_windows_per_sec": round(
+                native_x3_value, 1
+            ),
+            "native_bf16x3_tier_forward_ms": round(
+                1e3 * native_x3_dt / STEPS, 2
             ),
             "vit_native_windows_per_sec": round(vitn_value, 1),
             "vit_native_batch": vb,

@@ -2,6 +2,7 @@ from .extractor import (
     ExtractionStats,
     GuitarTablatureExtractor,
     find_audio_for_jams,
+    fix_tablature_data,
 )
 from .jams_io import (
     Annotation,
@@ -28,6 +29,7 @@ __all__ = [
     "ExtractionStats",
     "GuitarTablatureExtractor",
     "find_audio_for_jams",
+    "fix_tablature_data",
     "Jams",
     "Observation",
     "empty_tablature",

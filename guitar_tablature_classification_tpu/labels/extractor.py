@@ -219,6 +219,19 @@ class GuitarTablatureExtractor:
         )
         return report
 
+    # -- repair ---------------------------------------------------------
+    def fix_tablature_data(self) -> dict:
+        """Majority-vote repair of all-zero label files from their
+        temporal neighbours (reference ``fix_tablature_data``,
+        new_dataset (1).py:391-456 — present there only as a
+        commented-out capability, implemented here the same way the
+        dormant augmentation suite is: available, off by default).
+
+        Convenience wrapper over :func:`fix_tablature_data` bound to
+        this extractor's ``output_dir``/``window``.
+        """
+        return fix_tablature_data(self.output_dir, window=self.window)
+
     # -- validation -----------------------------------------------------
     def validate_tablature_data(
         self, sample_size: int = 100, seed: int = 0
@@ -267,6 +280,95 @@ class GuitarTablatureExtractor:
         }
 
 
+def _neighbor_names(fname: str, window: float) -> list[str]:
+    """Filenames of the +-1..3 temporal neighbours of a label file.
+
+    Supports both naming grammars found in the reference repo:
+
+    - ``{base}_{i:04d}.npy`` — the jam_to_tablature.py:323 writer, the
+      grammar the reference repair pass walks (new_dataset (1).py:403);
+    - ``{base}_segment_{idx}_{start:.2f}.npy`` — the shipped-fixture
+      grammar this extractor emits (``idx`` is constant per excerpt, the
+      time ``start`` walks the 0.2 s grid), where a neighbour is the
+      same excerpt at ``start +- k*window``.
+    """
+    stem = fname[: -len(".npy")]
+    parts = stem.split("_")
+    out = []
+    offsets = [-3, -2, -1, 1, 2, 3]  # new_dataset (1).py:417
+    if len(parts) >= 3 and parts[-3] == "segment":
+        try:
+            start = float(parts[-1])
+        except ValueError:
+            return []
+        prefix = "_".join(parts[:-1])
+        for off in offsets:
+            t = start + off * window
+            if t < -1e-9:
+                continue
+            out.append(f"{prefix}_{abs(t):.2f}.npy")
+    else:
+        seg = parts[-1]
+        if not (seg.isdigit() and len(seg) == 4):
+            return []
+        prefix = "_".join(parts[:-1])
+        for off in offsets:
+            i = int(seg) + off
+            if i < 0:
+                continue
+            out.append(f"{prefix}_{i:04d}.npy")
+    return out
+
+
+def fix_tablature_data(output_dir: str, window: float = 0.2) -> dict:
+    """Repair all-zero tablature files by neighbour majority vote.
+
+    Behavioural port of the reference's commented-out repair pass
+    (new_dataset (1).py:391-456): a label file whose matrix is entirely
+    zero (possible under the ``lowest_fret_center`` convention when no
+    note covers the segment and the pitch-contour fallback is empty;
+    never under the window conventions, which mark fret 0 on idle
+    strings) is replaced by the majority vote of its non-empty
+    neighbours within +-3 segments — cells marked in **more than half**
+    of the found neighbours survive (threshold ``len(neighbors)/2``,
+    new_dataset (1).py:437) — and is only written back if the inferred
+    matrix is itself non-empty.  Files are visited in sorted-name order
+    (deterministic, where the reference walks filesystem ``rglob``
+    order) and each is loaded fresh, so repairs CASCADE exactly as in
+    the reference: a just-repaired segment votes for later empties.
+    Returns the reference's stats dict
+    ``{"total", "with_played_strings", "fixed"}``.
+    """
+    files = sorted(f for f in os.listdir(output_dir) if f.endswith(".npy"))
+    with_played = 0
+    fixed = 0
+    for fname in files:
+        path = os.path.join(output_dir, fname)
+        tab = np.load(path)
+        if tab.sum() > 0:
+            with_played += 1
+            continue
+        neighbors = []
+        for nb in _neighbor_names(fname, window):
+            nb_path = os.path.join(output_dir, nb)
+            if os.path.exists(nb_path):
+                nb_tab = np.load(nb_path)
+                if nb_tab.sum() > 0:
+                    neighbors.append(nb_tab.astype(np.int64))
+        if not neighbors:
+            continue
+        combined = np.sum(neighbors, axis=0)
+        inferred = (combined > len(neighbors) / 2).astype(tab.dtype)
+        if inferred.sum() > 0:
+            np.save(path, inferred)
+            fixed += 1
+    return {
+        "total": len(files),
+        "with_played_strings": with_played,
+        "fixed": fixed,
+    }
+
+
 def main(argv=None) -> int:
     """CLI: python -m guitar_tablature_classification_tpu.labels.extractor"""
     import argparse
@@ -279,6 +381,11 @@ def main(argv=None) -> int:
                             "lowest_fret_center"])
     p.add_argument("--window", type=float, default=0.2)
     p.add_argument("--validate", action="store_true")
+    p.add_argument("--repair", action="store_true",
+                   help="after extraction, majority-vote repair all-zero "
+                        "label files from their +-3-segment neighbours "
+                        "(reference fix_tablature_data, "
+                        "new_dataset (1).py:391-456)")
     p.add_argument("--diff", metavar="FIXTURES_DIR", default=None,
                    help="regenerate in memory and diff bit-for-bit against "
                         "a fixtures directory (e.g. the shipped tablatures/)"
@@ -309,6 +416,8 @@ def main(argv=None) -> int:
     )
     for err in stats.errors[:10]:
         print(f"  error: {err}")
+    if args.repair:
+        print(ex.fix_tablature_data())
     if args.validate:
         print(ex.validate_tablature_data())
     return 0

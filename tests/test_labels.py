@@ -364,3 +364,75 @@ def test_find_audio_for_jams(tmp_path):
         "_mic.wav"
     )
     assert find_audio_for_jams(str(tmp_path), "missing") is None
+
+
+def test_fix_tablature_data_majority_vote(tmp_path):
+    """Behavioural parity with the reference repair pass
+    (new_dataset (1).py:391-456): all-zero files are replaced by the
+    strict-majority vote of their non-empty +-3-segment neighbours;
+    non-empty files and unrepairable files are untouched."""
+    from guitar_tablature_classification_tpu.labels import fix_tablature_data
+
+    def tab(cells):
+        t = np.zeros((6, 19), np.int8)
+        for s, f in cells:
+            t[s, f] = 1
+        return t
+
+    # reference {base}_{i:04d} grammar ---------------------------------
+    # neighbours of seg 3 at 0,1,2,4,5,6 -> non-empty ones vote
+    np.save(tmp_path / "trk_0000.npy", tab([(0, 5), (1, 7)]))
+    np.save(tmp_path / "trk_0001.npy", tab([(0, 5), (1, 7)]))
+    np.save(tmp_path / "trk_0002.npy", tab([(0, 5), (2, 9)]))
+    np.save(tmp_path / "trk_0003.npy", tab([]))          # to repair
+    np.save(tmp_path / "trk_0004.npy", tab([]))          # empty: no vote
+    np.save(tmp_path / "trk_0005.npy", tab([(0, 5)]))
+    # lone empty file with no non-empty neighbours in range: untouched
+    np.save(tmp_path / "solo_0099.npy", tab([]))
+
+    stats = fix_tablature_data(str(tmp_path))
+    # In-place np.save repairs cascade (reference behaviour: each file
+    # is loaded fresh, so a repaired earlier segment votes for later
+    # empties): trk_0003 is repaired from 0/1/2/5, then trk_0004 from
+    # 1/2/3(now non-empty)/5.
+    assert stats == {"total": 7, "with_played_strings": 4, "fixed": 2}
+    repaired = np.load(tmp_path / "trk_0003.npy")
+    # 4 voters: (0,5) in 4/4 -> keep; (1,7) in 2/4 (not > half) -> drop
+    assert np.array_equal(repaired, tab([(0, 5)]))
+    assert repaired.dtype == np.int8
+    assert np.array_equal(np.load(tmp_path / "trk_0004.npy"), tab([(0, 5)]))
+    # lone empty with no non-empty neighbours stays empty
+    assert np.load(tmp_path / "solo_0099.npy").sum() == 0
+
+    # fixture {base}_segment_{idx}_{start:.2f} grammar -----------------
+    d2 = tmp_path / "fixture_grammar"
+    d2.mkdir()
+    np.save(d2 / "tr_comp_segment_7_0.00.npy", tab([(2, 3)]))
+    np.save(d2 / "tr_comp_segment_7_0.20.npy", tab([(2, 3)]))
+    np.save(d2 / "tr_comp_segment_7_0.40.npy", tab([]))  # to repair
+    np.save(d2 / "tr_comp_segment_7_0.60.npy", tab([(2, 3), (3, 1)]))
+    stats2 = fix_tablature_data(str(d2), window=0.2)
+    assert stats2["fixed"] == 1
+    assert np.array_equal(
+        np.load(d2 / "tr_comp_segment_7_0.40.npy"), tab([(2, 3)])
+    )
+
+
+def test_fix_tablature_data_extractor_method_and_cli(tmp_path):
+    """The extractor method and the --repair CLI flag reach the same
+    repair pass."""
+    from guitar_tablature_classification_tpu.labels.extractor import main
+
+    jams_dir = tmp_path / "jams"
+    out_dir = tmp_path / "out"
+    jams_dir.mkdir()
+    obj = _jams_dict(
+        [[(0.0, 0.6, 45.0)], [], [], [], [], []], duration=0.6
+    )
+    (jams_dir / "a_track.jams").write_text(json.dumps(obj))
+    rc = main([str(jams_dir), str(out_dir), "--repair"])
+    assert rc == 0
+    ex = GuitarTablatureExtractor(str(jams_dir), str(out_dir))
+    stats = ex.fix_tablature_data()
+    # window conventions never produce all-zero files -> nothing to fix
+    assert stats["fixed"] == 0 and stats["total"] == 3

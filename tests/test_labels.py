@@ -1,6 +1,7 @@
 """JAMS parsing and tablature label conventions."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -436,3 +437,26 @@ def test_fix_tablature_data_extractor_method_and_cli(tmp_path):
     stats = ex.fix_tablature_data()
     # window conventions never produce all-zero files -> nothing to fix
     assert stats["fixed"] == 0 and stats["total"] == 3
+
+    # lowest_fret_center CAN produce all-zero segments (silent middle,
+    # empty pitch-contour fallback) — the convention the repair pass
+    # exists for.  Note 0.0-0.25 s covers center 0.1 only; note
+    # 0.8-1.2 s covers centers 0.9 and 1.1: segments 0.2/0.4/0.6 start
+    # empty and all get repaired from their non-empty neighbours.
+    out2 = tmp_path / "out_center"
+    (jams_dir / "b_track.jams").unlink(missing_ok=True)
+    obj2 = _jams_dict(
+        [[(0.0, 0.25, 45.0), (0.8, 0.4, 45.0)], [], [], [], [], []],
+        duration=1.2,
+    )
+    (jams_dir / "a_track.jams").write_text(json.dumps(obj2))
+    rc2 = main([
+        str(jams_dir), str(out2), "--convention", "lowest_fret_center",
+        "--repair",
+    ])
+    assert rc2 == 0
+    tabs = {
+        f: np.load(out2 / f) for f in sorted(os.listdir(out2))
+    }
+    assert len(tabs) == 6
+    assert all(t.sum() > 0 for t in tabs.values()), "repair filled gaps"

@@ -154,6 +154,64 @@ def test_fixture_support_matches_first_fit():
     assert low_fret_high_string == 0
 
 
+def test_window_pooling_exceeds_six_cells_center_cannot():
+    """The property behind the round-5 timing pin
+    (tools/probe_label_timing.py): a monophonic-per-string event stream
+    can mark > 6 distinct fret>=1 cells in one frame under WINDOW
+    pooling (notes change inside the window), while the center-instant
+    query of the reference extractors can never exceed 6 (at most one
+    sounding pitch per string at an instant, one cell per pitch)."""
+    from guitar_tablature_classification_tpu.labels.tablature import (
+        midi_to_tablature_first_fit,
+    )
+
+    # two 4-voice chords changing at t=0.1 inside the window [0, 0.2):
+    # 8 distinct pitches, never more than 4 sounding at once, and the
+    # per-string streams stay monophonic (non-overlapping in time).
+    chord_a = [54.0, 59.0, 64.0, 69.0]   # frets 14 on strings 0-3
+    chord_b = [55.0, 60.0, 65.0, 70.0]   # frets 15 on strings 0-3
+    notes = [[] for _ in range(6)]
+    for s, (pa, pb) in enumerate(zip(chord_a, chord_b)):
+        notes[s].append((0.0, 0.1, pa))
+        notes[s].append((0.1, 0.1, pb))
+    jam = parse_jams(_jams_dict(notes))
+    tab = tablature_first_fit_window(jam, 0.0, 0.2)
+    assert int(tab[:, 1:].sum()) == 8  # window pooling: all 8 pitches
+
+    # the center-instant variant over EVERY possible center never
+    # exceeds 6 distinct fret>=1 cells (here: 4, one chord at a time)
+    for center in np.arange(0.0, 0.2, 0.01):
+        pitches = []
+        for ann in jam.by_namespace("note_midi"):
+            for obs in ann.observations:
+                if obs.time <= center < obs.time + obs.duration:
+                    pitches.append(obs.value)
+        assert len(pitches) <= 6
+        snap = midi_to_tablature_first_fit(pitches)
+        assert int(snap[:, 1:].sum()) <= 6
+
+
+def test_fixture_pitch_count_refutes_center_instant():
+    """Round-5 timing pin: shipped fixtures contain frames with > 6
+    distinct fret>=1 cells — impossible for a center-instant snapshot
+    of a 6-string (monophonic-per-string) instrument, and therefore
+    proof of time-window pooling.  Checks known high-count frames
+    directly (the exhaustive count — 258 frames, max 11 cells — lives
+    in the slow sweep)."""
+    ref_dir = "/root/reference/tablatures"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference fixtures not mounted")
+    known = {
+        "00_Funk1-97-C_comp_segment_14_13.60.npy": 10,
+        "00_Funk1-114-Ab_comp_segment_12_19.80.npy": 10,
+        "00_Funk1-114-Ab_comp_segment_12_20.60.npy": 9,
+        "00_BN2-166-Ab_comp_segment_6_15.20.npy": 7,
+    }
+    for fname, expected in known.items():
+        tab = np.load(os.path.join(ref_dir, fname))
+        assert int(tab[:, 1:].sum()) == expected, fname
+
+
 def test_lowest_fret_convention():
     # midi 51 (Eb3): candidates s0f11, s1f6, s2f1 -> lowest fret wins
     tab = midi_to_tablature_lowest_fret([51.0])
@@ -305,6 +363,11 @@ def test_all_43k_shipped_fixtures_exhaustive():
       (string, fret) support (round-4 convention pin: 0 violations/43,188)
     - ~46-48 % of frames have a string with >= 2 marked frets (two pitches
       mapped to one string; argmax in the loaders keeps the lower fret)
+    - 258 frames carry > 6 distinct fret>=1 cells (max 11) — the round-5
+      TIMING pin: impossible under the reference extractors'
+      center-instant query (monophonic-per-string => <= 6 simultaneous
+      pitches), so the fixtures pooled notes over the full window
+      (tools/probe_label_timing.py)
     """
     import os
     import re
@@ -320,6 +383,8 @@ def test_all_43k_shipped_fixtures_exhaustive():
     ids: dict[str, set] = {}
     times: dict[str, list] = {}
     multi = 0
+    gt6 = 0
+    max_cells = 0
     for fname in files:
         m = pat.match(fname)
         assert m, f"filename breaks the naming grammar: {fname}"
@@ -337,6 +402,12 @@ def test_all_43k_shipped_fixtures_exhaustive():
         )
         if (rows >= 2).any():
             multi += 1
+        cells = int(tab[:, 1:].sum())
+        gt6 += int(cells > 6)
+        max_cells = max(max_cells, cells)
+
+    # the round-5 timing pin: window pooling, not center snapshots
+    assert gt6 == 258 and max_cells == 11, (gt6, max_cells)
 
     # 360 GuitarSet excerpts (180 tracks x {comp, solo})
     assert len(ids) == 360

@@ -99,8 +99,15 @@ def load_transcriber(args):
         template = create_train_state(
             model, OptimConfig(), jax.random.PRNGKey(0), sample
         )
+        from ..train.checkpoint import CheckpointMismatchError
+
         directory, name = os.path.split(args.model.rstrip("/"))
-        state, _ = Checkpointer(directory, name).restore(template)
+        try:
+            state, _ = Checkpointer(directory, name).restore(
+                template, expect_model=dataclasses.asdict(model_cfg)
+            )
+        except CheckpointMismatchError as e:
+            raise SystemExit(f"--model: {e}")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
     else:  # random init (smoke/demo mode)
         import jax

@@ -1,4 +1,4 @@
-from .checkpoint import Checkpointer
+from .checkpoint import Checkpointer, CheckpointMismatchError
 from .engine import (
     TrainState,
     create_train_state,
@@ -19,6 +19,7 @@ from .schedules import (
 
 __all__ = [
     "Checkpointer",
+    "CheckpointMismatchError",
     "CosineAnnealingWarmRestarts",
     "ReduceLROnPlateau",
     "TrainState",

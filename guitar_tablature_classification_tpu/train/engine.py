@@ -349,8 +349,11 @@ def train_model(
 
     start_epoch = 0
     resumed_best = None
+    import dataclasses as _dc
+
+    model_meta = _dc.asdict(config.model)
     if resume and checkpointer is not None and checkpointer.exists():
-        state, meta = checkpointer.restore(state)
+        state, meta = checkpointer.restore(state, expect_model=model_meta)
         start_epoch = int(meta.get("epoch", -1)) + 1
         resumed_best = meta.get("metrics", {}).get("loss")
         log(f"resumed from epoch {start_epoch} (step {int(state.step)})")
@@ -427,7 +430,10 @@ def train_model(
             )
             patience = 0
             if checkpointer is not None:
-                checkpointer.save(state, epoch=epoch, metrics=val)
+                checkpointer.save(
+                    state, epoch=epoch, metrics=val,
+                    model_meta=model_meta,
+                )
         else:
             patience += 1
             if patience >= ocfg.early_stop_patience:

@@ -102,8 +102,21 @@ def make_config(args):
         train_config_from_json,
     )
 
+    # Precedence (documented + tested in tests/test_cli_config.py):
+    # base config comes from exactly ONE of --config / --recipe / --arch
+    # (conflicts are errors, never silent); explicit flags then override
+    # individual fields of that base.
     if args.recipe is not None and args.arch is not None:
         raise SystemExit("--recipe implies an arch; pass one or the other")
+    if args.config and args.recipe is not None:
+        raise SystemExit(
+            "--config and --recipe both define a full base config; pass "
+            "one or the other (flags like --epochs still override fields)"
+        )
+    if args.config and args.arch is not None:
+        raise SystemExit(
+            "--config already pins the arch; pass one or the other"
+        )
     if args.config:
         with open(args.config) as f:
             cfg = train_config_from_json(f.read())
@@ -252,7 +265,14 @@ def main(argv=None) -> int:
             model, cfg.optim, jax.random.PRNGKey(cfg.optim.seed),
             preprocess(jnp.asarray(peek["features"][:1])),
         )
-        state, meta = ckpt.restore(state)
+        from ..train.checkpoint import CheckpointMismatchError
+
+        try:
+            state, meta = ckpt.restore(
+                state, expect_model=dataclasses.asdict(cfg.model)
+            )
+        except CheckpointMismatchError as e:
+            raise SystemExit(f"--eval-only: {e}")
         eval_step = make_eval_step(
             model, preprocess, smoothing=cfg.optim.label_smoothing
         )

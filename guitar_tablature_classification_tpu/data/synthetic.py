@@ -12,6 +12,7 @@ loop: audio -> CQT -> model vs JAMS -> labels, with a learnable mapping.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -24,20 +25,40 @@ def midi_to_hz(midi: float) -> float:
 
 def render_note(
     sr: int, duration: float, midi: float, *, harmonics: int = 6,
-    decay: float = 3.0, amp: float = 0.3,
+    decay: float = 3.0, amp: float = 0.3, detune_cents: float = 0.0,
+    inharmonicity: float = 0.0, pluck: float = 0.0,
+    rng: np.random.Generator | None = None,
 ) -> np.ndarray:
+    """Decaying-harmonic pluck.  Robustness knobs (round-5 VERDICT #4 —
+    all default 0.0 = the round-4 stats-calibrated rendering, bit-exact):
+
+    - ``detune_cents``: shift f0 by this many cents (per-note tuning
+      error; real GuitarSet players are within a few cents but never 0).
+    - ``inharmonicity``: string-stiffness coefficient B — partial h
+      sounds at ``f0*h*sqrt(1 + B*h^2)`` instead of the exact harmonic
+      (steel strings: B ~ 1e-4..1e-3), smearing the CQT comb.
+    - ``pluck``: amplitude of a ~8 ms broadband attack transient
+      (pick/finger noise), drawn from ``rng``.
+    """
     n = int(duration * sr)
     t = np.arange(n) / sr
-    f0 = midi_to_hz(midi)
+    f0 = midi_to_hz(midi) * 2.0 ** (detune_cents / 1200.0)
     wave = np.zeros(n, dtype=np.float64)
     nyquist = sr / 2
     for h in range(1, harmonics + 1):
-        f = f0 * h
+        f = f0 * h * math.sqrt(1.0 + inharmonicity * h * h)
         if f >= nyquist:
             break
         wave += (amp / h) * np.sin(2 * math.pi * f * t)
     env = np.exp(-decay * t) * np.minimum(t * 200.0, 1.0)  # attack + decay
-    return (wave * env).astype(np.float32)
+    out = wave * env
+    if pluck > 0.0 and n > 0:
+        burst_n = min(n, max(1, int(0.008 * sr)))
+        burst_rng = rng if rng is not None else np.random.default_rng(0)
+        burst = burst_rng.standard_normal(burst_n)
+        burst *= amp * pluck * np.exp(-np.arange(burst_n) / (0.002 * sr))
+        out[:burst_n] += burst
+    return out.astype(np.float32)
 
 
 # Chord interval templates (semitones above the root): the voicing
@@ -137,20 +158,83 @@ def random_performance(
     return sorted(events, key=lambda e: e[2])
 
 
+@dataclass(frozen=True)
+class RenderConfig:
+    """Recording-condition knobs for :func:`render_performance` (round-5
+    VERDICT #4: harden the synthetic proxy toward GuitarSet's real
+    recording conditions — hexaphonic pickups with bleed, pluck
+    transients, player tuning error, room noise).  All-zero defaults
+    reproduce the round-4 rendering bit-for-bit (same RNG stream).
+
+    ``bleed`` is the mono-mix analogue of hexaphonic inter-string bleed
+    (jam_to_tablature.py:360-367 consumes ``hex_debleeded`` files whose
+    de-bleeding leaves residual cross-string content): each note also
+    excites the OTHER five open strings sympathetically at this relative
+    amplitude — spurious open-string pitch content a center classifier
+    must reject."""
+
+    noise: float = 1e-4          # additive white noise RMS
+    detune_cents: float = 0.0    # per-note tuning error, uniform(+/- this)
+    inharmonicity: float = 0.0   # string stiffness B (steel ~1e-4..1e-3)
+    pluck: float = 0.0           # attack-transient amplitude (rel. note amp)
+    bleed: float = 0.0           # sympathetic open-string level (rel.)
+
+    @staticmethod
+    def hardness(level: float) -> "RenderConfig":
+        """Scalar 0..1 -> knob set; 1.0 is the 'hardest' studio-unfriendly
+        setting used by the DESIGN robustness table."""
+        level = float(level)
+        return RenderConfig(
+            noise=1e-4 + level * 3e-2,
+            detune_cents=12.0 * level,
+            inharmonicity=8e-4 * level,
+            pluck=1.2 * level,
+            bleed=0.12 * level,
+        )
+
+
 def render_performance(
     events, duration: float, cfg: CQTConfig | None = None,
     *, noise: float = 1e-4, seed: int = 0,
+    render: RenderConfig | None = None,
 ) -> np.ndarray:
+    """Mix a performance to mono.  ``render`` bundles the robustness
+    knobs; when omitted, ``noise``/``seed`` keep the legacy signature
+    (and the all-zero default knobs keep the output bit-identical to the
+    round-4 generator for a given seed: the extra RNG streams are only
+    created when a knob is active)."""
+    rc = render if render is not None else RenderConfig(noise=noise)
     cfg = cfg or CQTConfig()
     sr = cfg.sample_rate
     out = np.zeros(int(duration * sr) + 1, dtype=np.float32)
+    hard = (rc.detune_cents > 0 or rc.inharmonicity > 0 or rc.pluck > 0
+            or rc.bleed > 0)
+    note_rng = np.random.default_rng((seed << 8) ^ 0x5EED) if hard else None
     for s, fret, onset, dur in events:
         midi = OPEN_STRING_MIDI[s] + fret
-        note = render_note(sr, dur, midi)
+        detune = (
+            float(note_rng.uniform(-rc.detune_cents, rc.detune_cents))
+            if hard and rc.detune_cents > 0 else 0.0
+        )
+        note = render_note(
+            sr, dur, midi, detune_cents=detune,
+            inharmonicity=rc.inharmonicity, pluck=rc.pluck, rng=note_rng,
+        )
         lo = int(onset * sr)
         out[lo : lo + len(note)] += note
+        if rc.bleed > 0.0:
+            # sympathetic ringing of the other open strings: short,
+            # faster-decaying, quiet — residual "bleed" pitch content
+            for other in range(NUM_STRINGS):
+                if other == s:
+                    continue
+                ring = render_note(
+                    sr, min(dur, 0.35), float(OPEN_STRING_MIDI[other]),
+                    harmonics=3, decay=9.0, amp=0.3 * rc.bleed,
+                )
+                out[lo : lo + len(ring)] += ring
     rng = np.random.default_rng(seed)
-    out += noise * rng.standard_normal(out.shape).astype(np.float32)
+    out += rc.noise * rng.standard_normal(out.shape).astype(np.float32)
     peak = np.abs(out).max()
     if peak > 1.0:
         out /= peak
@@ -188,13 +272,15 @@ def make_synthetic_dataset(
     num_tracks: int = 4,
     duration: float = 4.0,
     cfg: CQTConfig | None = None,
+    render: RenderConfig | None = None,
 ) -> list[dict]:
     """-> per-track dicts {audio, jams, events, duration}."""
     cfg = cfg or CQTConfig()
     tracks = []
     for i in range(num_tracks):
         events = random_performance(rng, duration)
-        audio = render_performance(events, duration, cfg, seed=i)
+        audio = render_performance(events, duration, cfg, seed=i,
+                                   render=render)
         tracks.append(
             {
                 "name": f"synth{i:02d}_comp",

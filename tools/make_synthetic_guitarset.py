@@ -39,12 +39,19 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=24.0,
                    help="seconds per excerpt (~43k windows at 360 x 24 s)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--hardness", type=float, default=0.0,
+                   help="recording-condition corruption level 0..1 "
+                        "(RenderConfig.hardness: noise, detune, "
+                        "inharmonicity, pluck transients, bleed). Same "
+                        "--seed => identical performances/JAMS/labels at "
+                        "every level; only the audio rendering differs.")
     args = p.parse_args(argv)
 
     from scipy.io import wavfile
 
     from guitar_tablature_classification_tpu.config import CQTConfig
     from guitar_tablature_classification_tpu.data.synthetic import (
+        RenderConfig,
         events_to_jams_dict,
         random_performance,
         render_performance,
@@ -64,7 +71,10 @@ def main(argv=None) -> int:
         kind = "comp" if i % 2 == 0 else "solo"
         name = f"{track_id:02d}_Synth{track_id:03d}_{kind}"
         events = random_performance(rng, args.duration)
-        audio = render_performance(events, args.duration, cfg, seed=i)
+        audio = render_performance(
+            events, args.duration, cfg, seed=i,
+            render=RenderConfig.hardness(args.hardness),
+        )
         # GuitarSet-style hex suffix exercises the WAV-probing logic
         wavfile.write(
             os.path.join(audio_dir, f"{name}_hex.wav"),

@@ -324,17 +324,28 @@ class TrainConfig:
 
     @staticmethod
     def vit_small_data() -> "TrainConfig":
-        """Measured-best ViT recipe for small datasets
-        (`--recipe vit-small-data`): vit_native with coarse (16, 3)
-        rectangular patches on the raw CQT — the DESIGN.md patch sweep's
-        winner on BOTH axes (paired seeds: +6.3/+4.4 accuracy points over
-        the (8, 3) default AND 1.8x faster; 33x the 224^2 ViT).  The
-        reference equivalent is ViT_engine.py:574-586's literals."""
+        """Measured-best ViT recipe (`--recipe vit-small-data`):
+        vit_native with coarse (16, 3) rectangular patches on the raw
+        CQT — the DESIGN.md patch sweep's winner on BOTH axes (paired
+        seeds: +6.3/+4.4 accuracy points over the (8, 3) default AND
+        1.8x faster; 33x the 224^2 ViT), re-confirmed at the 43k-window
+        GuitarSet scale (round-5 sweep: patch 8 scores 96.00 vs patch
+        16's 96.17).  `backbone_lr_scale=1.0` since round 5: the
+        reference's backbone-lr/10 split (ViT_engine.py:244-251) is a
+        FINETUNING recipe that assumes pretrained DINO weights; training
+        from scratch it costs a measured 0.44 accuracy points at scale
+        (96.14-96.17 vs 95.70 — DESIGN.md round-5 sweep).  cosine_t0=10
+        from the same sweep (96.17 vs 96.14 at t0=5, two-seed-confirmed
+        winner).  The reference equivalent is ViT_engine.py:574-586's
+        literals."""
         base = TrainConfig.vit_default()
         return dataclasses.replace(
             base,
             model=dataclasses.replace(
                 base.model, arch="vit_native", vit_patch=16
+            ),
+            optim=dataclasses.replace(
+                base.optim, backbone_lr_scale=1.0, cosine_t0=10
             ),
         )
 

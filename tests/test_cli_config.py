@@ -87,13 +87,18 @@ def test_recipe_native_best_preset():
 
 def test_recipe_vit_small_data_preset():
     """--recipe vit-small-data = vit_native with (16, 3) patches (the
-    patch sweep's paired-seed winner) on the full ViT optimizer recipe."""
+    patch sweep's paired-seed winner, re-confirmed at 43k-window scale)
+    on the ViT optimizer recipe with the round-5 scale-sweep winners:
+    full backbone lr (the reference's lr/10 split is a finetuning
+    recipe; from scratch it costs 0.44 points) and cosine_t0=10."""
     cfg = _make(["--synthetic", "--recipe", "vit-small-data"])
     assert cfg.model.arch == "vit_native"
     assert cfg.model.vit_patch == 16
     assert cfg.model.vit_native_patch_w == 3
     assert cfg.optim.name == "adamw"
     assert cfg.optim.schedule == "cosine_warm_restarts"
+    assert cfg.optim.backbone_lr_scale == 1.0
+    assert cfg.optim.cosine_t0 == 10
 
 
 def test_recipe_conflicts_with_arch():

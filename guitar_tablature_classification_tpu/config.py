@@ -160,6 +160,12 @@ class ModelConfig:
     # 12x3 token grid (36 + CLS) vs the 224^2 recipe's 784 tokens.
     # Must divide n_frames (9 -> 1, 3 or 9).
     vit_native_patch_w: int = 3
+    # Replace the patchify embedding with a stride-factored 3x3
+    # conv/BN/GELU stack + 1x1 projection (Xiao et al. 2021, "Early
+    # Convolutions Help Transformers See Better") — same token grid,
+    # overlapping receptive fields.  ViT archs only; conv-stem
+    # checkpoints are NOT HF/DINO-importable (different embed tree).
+    vit_conv_stem: bool = False
     vit_mlp_ratio: float = 4.0
     dropout: float = 0.3
     remat: bool = False  # jax.checkpoint per block (activation memory vs FLOPs)

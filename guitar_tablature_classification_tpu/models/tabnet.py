@@ -78,6 +78,7 @@ class ViTTab(nn.Module):
     remat: bool = False
     attention_impl: str = "xla"  # xla | pallas
     gelu: str = "auto"  # auto | exact | tanh
+    conv_stem: bool = False  # 3x3 conv stack embedding (see ViTBackbone)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,7 +87,7 @@ class ViTTab(nn.Module):
             patch=self.patch, input_channels=self.input_channels,
             dtype=self.dtype, param_dtype=self.param_dtype,
             remat=self.remat, attention_impl=self.attention_impl,
-            gelu=self.gelu, name="vit",
+            gelu=self.gelu, conv_stem=self.conv_stem, name="vit",
         )(x, train=train)
 
         bn = lambda name: nn.BatchNorm(  # noqa: E731
@@ -156,6 +157,10 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             fused_tail=cfg.stem_fusion == "fused",
             fused_bn=cfg.bn_fusion == "on",
         )
+    if cfg.vit_conv_stem and cfg.arch not in ("vit_s8", "vit_native"):
+        raise ValueError(
+            f"vit_conv_stem only applies to ViT archs, got {cfg.arch!r}"
+        )
     if cfg.arch == "vit_s8":
         return ViTTab(
             num_frets=cfg.num_frets, num_strings=cfg.num_strings,
@@ -163,6 +168,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             layers=cfg.vit_layers, heads=cfg.vit_heads, patch=cfg.vit_patch,
             dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
             remat=cfg.remat, gelu=cfg.gelu,
+            conv_stem=cfg.vit_conv_stem,
             attention_impl=_resolve_attention(
                 cfg.attention_impl, tokens=(224 // cfg.vit_patch) ** 2 + 1
             ),
@@ -181,6 +187,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             patch=(cfg.vit_patch, cfg.vit_native_patch_w),
             dropout=cfg.dropout, dtype=dtype, param_dtype=param_dtype,
             remat=cfg.remat, gelu=cfg.gelu,
+            conv_stem=cfg.vit_conv_stem,
             attention_impl=_resolve_attention(
                 cfg.attention_impl,
                 tokens=(96 // cfg.vit_patch) * (9 // cfg.vit_native_patch_w)

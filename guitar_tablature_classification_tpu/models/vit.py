@@ -75,6 +75,28 @@ class EncoderBlock(nn.Module):
         return x + y
 
 
+def _stem_strides(ph: int, pw: int) -> list[tuple[int, int]]:
+    """Decompose a (ph, pw) patch into per-stage 3x3 conv strides.
+
+    The H factor is split into 2s (plus one residual odd factor);
+    the W strides are applied on the LAST stages so the early convs see
+    the widest map (the CQT's 9-column axis is already narrow)."""
+    def factors(p):
+        out, rem = [], p
+        while rem % 2 == 0 and rem > 1:
+            out.append(2)
+            rem //= 2
+        if rem != 1:
+            out.append(rem)
+        return out
+
+    hf, wf = factors(ph), factors(pw)
+    n = max(len(hf), len(wf), 1)
+    hf = hf + [1] * (n - len(hf))
+    wf = [1] * (n - len(wf)) + wf
+    return list(zip(hf, wf))
+
+
 class ViTBackbone(nn.Module):
     """[B, H, W, C] -> [B, hidden] CLS features (final-LN applied)."""
 
@@ -98,6 +120,17 @@ class ViTBackbone(nn.Module):
     remat: bool = False  # jax.checkpoint per encoder block
     attention_impl: str = "xla"  # xla | pallas (fused VMEM-resident KV)
     gelu: str = "auto"  # auto | exact | tanh (see ModelConfig.gelu)
+    # Replace the single patchify conv with a stack of stride-factored
+    # 3x3 conv/BN/GELU stages + a 1x1 projection ("Early Convolutions
+    # Help Transformers See Better", Xiao et al. 2021) — same token grid
+    # as the (ph, pw) patchify, but the embedding sees overlapping
+    # receptive fields instead of disjoint patches.  Round-5 experiment:
+    # does a convolutional inductive bias close the measured ~0.35-point
+    # gap to small_cnn at GuitarSet scale (DESIGN.md ViT sweep)?
+    # NOTE: conv-stem checkpoints are NOT HF-importable (the DINO layout
+    # has a single patch_embed); `vit_variables_from_torch` targets the
+    # default patchify tree only.
+    conv_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,11 +144,33 @@ class ViTBackbone(nn.Module):
                 f"input {h}x{w} not divisible by patch {ph}x{pw}"
             )
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.hidden, (ph, pw),
-            strides=(ph, pw), padding="VALID",
-            dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed",
-        )(x)
+        if self.conv_stem:
+            stages = _stem_strides(ph, pw)
+            for i, (sh, sw) in enumerate(stages):
+                ch = max(self.hidden >> (len(stages) - 1 - i), 16)
+                x = nn.Conv(
+                    ch, (3, 3), strides=(sh, sw), padding="SAME",
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"stem_conv{i}",
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"stem_bn{i}",
+                )(x)
+                x = nn.gelu(x, approximate=self.gelu == "tanh" or (
+                    self.gelu == "auto" and self.dtype == jnp.bfloat16))
+            x = nn.Conv(
+                self.hidden, (1, 1), dtype=self.dtype,
+                param_dtype=self.param_dtype, name="stem_proj",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.hidden, (ph, pw),
+                strides=(ph, pw), padding="VALID",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="patch_embed",
+            )(x)
         x = x.reshape(b, -1, self.hidden)  # [B, N, D]
         n = x.shape[1]
 

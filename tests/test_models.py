@@ -497,6 +497,59 @@ def test_vit_square_patch_tuple_matches_int():
     )
 
 
+def test_stem_strides_factorization():
+    """(ph, pw) -> per-stage 3x3 conv strides: H split into 2s, W strides
+    applied on the last stages (the 9-column axis stays wide early)."""
+    from guitar_tablature_classification_tpu.models.vit import _stem_strides
+
+    assert _stem_strides(16, 3) == [(2, 1), (2, 1), (2, 1), (2, 3)]
+    assert _stem_strides(8, 3) == [(2, 1), (2, 1), (2, 3)]
+    assert _stem_strides(8, 8) == [(2, 2), (2, 2), (2, 2)]
+    assert _stem_strides(1, 1) == [(1, 1)]
+    assert _stem_strides(12, 1) == [(2, 1), (2, 1), (3, 1)]  # odd residual
+
+
+def test_vit_conv_stem_variant():
+    """vit_conv_stem=True swaps the patchify for the 3x3 conv stack but
+    keeps the token grid (pos_embed shape), output shape and the
+    train-mode BN-stats path working; the default tree is unchanged
+    (old checkpoints unaffected)."""
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    cfg = ModelConfig(arch="vit_native", vit_patch=16, vit_conv_stem=True,
+                      dtype="float32", attention_impl="xla")
+    model = build_model(cfg)
+    x = make_preprocess(cfg)(jnp.asarray(
+        np.random.default_rng(0).uniform(-120, 0, (2, 96, 9)), jnp.float32
+    ))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = variables["params"]["vit"]
+    assert "patch_embed" not in params
+    # 16 = 2^4 -> four 3x3 stages + the 1x1 projection
+    assert {f"stem_conv{i}" for i in range(4)} <= set(params)
+    assert "stem_proj" in params
+    # same (96/16) x (9/3) token grid as the patchify embedding
+    assert params["pos_embed"].shape == (1, 6 * 3 + 1, 384)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 6, 19)
+    y, _ = model.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert np.all(np.isfinite(np.asarray(y)))
+
+    # default (conv_stem=False) tree still has the patchify embedding
+    base = build_model(ModelConfig(arch="vit_native", vit_patch=16,
+                                   dtype="float32", attention_impl="xla"))
+    bp = base.init(jax.random.PRNGKey(0), x, train=False)["params"]["vit"]
+    assert "patch_embed" in bp and "stem_proj" not in bp
+
+
+def test_vit_conv_stem_arch_guard():
+    with pytest.raises(ValueError, match="vit_conv_stem"):
+        build_model(ModelConfig(arch="resnet18_native", vit_conv_stem=True))
+
+
 def test_resolve_attention_token_aware(monkeypatch):
     """'auto' picks the fused kernel only past its 128-token tile
     (measured: XLA wins at N=37/65, the kernel at N=197/785 —

@@ -342,13 +342,19 @@ class TrainConfig:
         from scratch it costs a measured 0.44 accuracy points at scale
         (96.14-96.17 vs 95.70 — DESIGN.md round-5 sweep).  cosine_t0=10
         from the same sweep (96.17 vs 96.14 at t0=5, two-seed-confirmed
-        winner).  The reference equivalent is ViT_engine.py:574-586's
-        literals."""
+        winner).  `vit_conv_stem=True` since round 5c: the stride-
+        factored 3x3 conv/BN/GELU embedding (same token grid) is worth
+        +0.72/+0.93 points over the patchify conv at the 43k-window
+        scale (96.89/97.05 two-seed vs 96.12-96.17) — the best accuracy
+        of ANY arch in the repo, 0.4-0.5 over small_cnn's 96.51
+        (DESIGN.md round-5 conv-stem study).  The reference equivalent
+        is ViT_engine.py:574-586's literals."""
         base = TrainConfig.vit_default()
         return dataclasses.replace(
             base,
             model=dataclasses.replace(
-                base.model, arch="vit_native", vit_patch=16
+                base.model, arch="vit_native", vit_patch=16,
+                vit_conv_stem=True,
             ),
             optim=dataclasses.replace(
                 base.optim, backbone_lr_scale=1.0, cosine_t0=10

@@ -167,6 +167,14 @@ def transcriber_from_torch_checkpoint(
     )
 
     sd = load_torch_checkpoint(path)
+    model_cfg = kwargs.pop("model_cfg", None) or ModelConfig(arch=arch)
+    if getattr(model_cfg, "vit_conv_stem", False):
+        raise ValueError(
+            "torch checkpoints carry the reference patchify layout; a "
+            "conv-stem ViT (vit_conv_stem=True) cannot be served from "
+            "one. Serve the Orbax checkpoint it was trained to, or "
+            "retrain with vit_conv_stem=False for torch portability."
+        )
     # The converters are shape-agnostic key mappers, so the native twins
     # (resnet18_native / vit_native — e.g. a .pt this repo's
     # save_torch_checkpoint wrote) route through the same paths.
@@ -176,7 +184,4 @@ def transcriber_from_torch_checkpoint(
         variables = vittab_variables_from_torch(sd)
     else:
         raise ValueError(f"unknown arch {arch!r}")
-    return Transcriber(
-        variables, model_cfg=kwargs.pop("model_cfg", None) or ModelConfig(arch=arch),
-        **kwargs,
-    )
+    return Transcriber(variables, model_cfg=model_cfg, **kwargs)

@@ -107,6 +107,15 @@ def guitartabnet_state_dict(variables: dict) -> dict[str, np.ndarray]:
 
 def vit_state_dict(variables: dict, *, prefix: str = "") -> dict[str, np.ndarray]:
     params = variables["params"]
+    if "patch_embed" not in params:
+        raise ValueError(
+            "these ViT variables have no patch_embed — a conv-stem "
+            "backbone (vit_conv_stem=True) has no reference-layout "
+            "equivalent (the DINO/HF tree carries a single patchify "
+            "projection), so torch export/import only cover the "
+            "default patchify embedding. Retrain with "
+            "vit_conv_stem=False for a torch-portable checkpoint."
+        )
     out: dict[str, np.ndarray] = {
         f"{prefix}embeddings.cls_token": _np(params["cls_token"]),
         f"{prefix}embeddings.position_embeddings": _np(params["pos_embed"]),

@@ -90,11 +90,14 @@ def test_recipe_vit_small_data_preset():
     patch sweep's paired-seed winner, re-confirmed at 43k-window scale)
     on the ViT optimizer recipe with the round-5 scale-sweep winners:
     full backbone lr (the reference's lr/10 split is a finetuning
-    recipe; from scratch it costs 0.44 points) and cosine_t0=10."""
+    recipe; from scratch it costs 0.44 points), cosine_t0=10, and the
+    round-5c conv-stem embedding (96.89/97.05 two-seed at 43k windows —
+    best of any arch, +0.4-0.5 over small_cnn)."""
     cfg = _make(["--synthetic", "--recipe", "vit-small-data"])
     assert cfg.model.arch == "vit_native"
     assert cfg.model.vit_patch == 16
     assert cfg.model.vit_native_patch_w == 3
+    assert cfg.model.vit_conv_stem is True
     assert cfg.optim.name == "adamw"
     assert cfg.optim.schedule == "cosine_warm_restarts"
     assert cfg.optim.backbone_lr_scale == 1.0

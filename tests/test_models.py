@@ -550,6 +550,44 @@ def test_vit_conv_stem_arch_guard():
         build_model(ModelConfig(arch="resnet18_native", vit_conv_stem=True))
 
 
+def test_vit_conv_stem_torch_export_named_error(tmp_path):
+    """A conv-stem tree has no reference-layout patch_embed: torch
+    export must fail with a named error, not a KeyError (the HF/DINO
+    layout only covers the patchify embedding — vit.py docstring)."""
+    from guitar_tablature_classification_tpu.models.torch_export import (
+        save_torch_checkpoint,
+    )
+    from guitar_tablature_classification_tpu.train import make_preprocess
+
+    cfg = ModelConfig(arch="vit_native", vit_patch=16, vit_conv_stem=True,
+                      dtype="float32", attention_impl="xla")
+    model = build_model(cfg)
+    x = make_preprocess(cfg)(jnp.zeros((1, 96, 9), jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    with pytest.raises(ValueError, match="conv-stem"):
+        save_torch_checkpoint(
+            str(tmp_path / "m.pt"), variables, arch="vit_native"
+        )
+
+
+def test_vit_conv_stem_torch_serve_named_error(tmp_path):
+    """Serving a torch checkpoint into a conv-stem model config is a
+    layout mismatch: named error, not a flax tree traceback."""
+    import torch
+
+    from guitar_tablature_classification_tpu.infer.transcribe import (
+        transcriber_from_torch_checkpoint,
+    )
+
+    path = tmp_path / "ref.pt"
+    torch.save({"model_state_dict": {}}, str(path))
+    cfg = ModelConfig(arch="vit_native", vit_patch=16, vit_conv_stem=True)
+    with pytest.raises(ValueError, match="conv-stem"):
+        transcriber_from_torch_checkpoint(
+            str(path), arch="vit_native", model_cfg=cfg
+        )
+
+
 def test_resolve_attention_token_aware(monkeypatch):
     """'auto' picks the fused kernel only past its 128-token tile
     (measured: XLA wins at N=37/65, the kernel at N=197/785 —

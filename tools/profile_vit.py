@@ -79,6 +79,10 @@ def main():
                    help="override vit_patch (e.g. 16 -> N=197 tokens at "
                         "224^2: probes the pallas/xla attention "
                         "crossover between the N=37 and N=785 endpoints)")
+    p.add_argument("--conv-stem", action="store_true",
+                   help="vit_conv_stem=True: stride-factored 3x3 "
+                        "conv/BN/GELU stem instead of the patchify conv "
+                        "(same token grid; the round-5 accuracy winner)")
     args = p.parse_args()
 
     cqt_cfg = CQTConfig()
@@ -89,6 +93,8 @@ def main():
         kw = {} if args.dropout is None else {"dropout": args.dropout}
         if args.patch is not None:
             kw["vit_patch"] = args.patch
+        if args.conv_stem:
+            kw["vit_conv_stem"] = True
         model_cfg = ModelConfig(
             arch=args.arch, attention_impl=attn, remat=args.remat, **kw
         )

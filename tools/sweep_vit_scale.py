@@ -53,30 +53,32 @@ def build_configs():
     """(name, model-overrides, optim-overrides) rows, compile-friendly
     order: all (patch16, bb=0.1) first, then (patch16, bb=1.0), then
     patch8 — each group shares one compiled train program."""
-    # Every row pins its backbone_lr_scale/cosine_t0 EXPLICITLY: the
-    # vit-small-data base recipe adopted this sweep's winner
-    # (bb=1.0/T0=10) mid-round, so rows relying on the old base
-    # defaults would silently change meaning on a re-run.
+    # Every row pins its backbone_lr_scale/cosine_t0/vit_conv_stem
+    # EXPLICITLY: the vit-small-data base recipe adopted this sweep's
+    # winners mid-round (bb=1.0/T0=10, then conv_stem=True after the
+    # round-5c study), so rows relying on the old base defaults would
+    # silently change meaning on a re-run.
+    patchify = {"vit_conv_stem": False}
     rows = [
         # reproduce the round-4 scale row (sanity anchor)
-        ("base_p16_bb0.1_lr5e-4_t5", {}, {"backbone_lr_scale": 0.1,
-                                          "cosine_t0": 5}),
-        ("p16_bb0.1_lr5e-4_t10", {}, {"backbone_lr_scale": 0.1,
-                                      "cosine_t0": 10}),
-        # from-scratch hypothesis: no pretrained backbone to protect
-        ("p16_bb1_lr5e-4_t5", {}, {"backbone_lr_scale": 1.0,
-                                   "cosine_t0": 5}),
-        ("p16_bb1_lr1e-3_t5", {}, {"backbone_lr_scale": 1.0,
-                                   "cosine_t0": 5,
-                                   "learning_rate": 1e-3}),
-        ("p16_bb1_lr2e-4_t5", {}, {"backbone_lr_scale": 1.0,
-                                   "cosine_t0": 5,
-                                   "learning_rate": 2e-4}),
-        ("p16_bb1_lr5e-4_t10", {}, {"backbone_lr_scale": 1.0,
-                                    "cosine_t0": 10}),
-        # patch granularity at scale
-        ("p8_bb1_lr5e-4_t5", {"vit_patch": 8}, {"backbone_lr_scale": 1.0,
+        ("base_p16_bb0.1_lr5e-4_t5", patchify, {"backbone_lr_scale": 0.1,
                                                 "cosine_t0": 5}),
+        ("p16_bb0.1_lr5e-4_t10", patchify, {"backbone_lr_scale": 0.1,
+                                            "cosine_t0": 10}),
+        # from-scratch hypothesis: no pretrained backbone to protect
+        ("p16_bb1_lr5e-4_t5", patchify, {"backbone_lr_scale": 1.0,
+                                         "cosine_t0": 5}),
+        ("p16_bb1_lr1e-3_t5", patchify, {"backbone_lr_scale": 1.0,
+                                         "cosine_t0": 5,
+                                         "learning_rate": 1e-3}),
+        ("p16_bb1_lr2e-4_t5", patchify, {"backbone_lr_scale": 1.0,
+                                         "cosine_t0": 5,
+                                         "learning_rate": 2e-4}),
+        ("p16_bb1_lr5e-4_t10", patchify, {"backbone_lr_scale": 1.0,
+                                          "cosine_t0": 10}),
+        # patch granularity at scale
+        ("p8_bb1_lr5e-4_t5", {"vit_patch": 8, **patchify},
+         {"backbone_lr_scale": 1.0, "cosine_t0": 5}),
         # round-5 follow-up: is the remaining ~0.35-point gap to
         # small_cnn architectural?  The conv-stem embedding (Xiao et
         # al. 2021) injects the convolutional inductive bias while

@@ -493,3 +493,52 @@ def test_multidevice_native_fused_stem_matches_single_device():
     k1 = np.asarray(s1.params["resnet"]["conv1"]["kernel"])
     k2 = np.asarray(s2.params["resnet"]["conv1"]["kernel"])
     np.testing.assert_allclose(k1, k2, atol=2e-3)
+
+
+def test_dp_vit_conv_stem_matches_single_device():
+    """The round-5c conv-stem ViT (the shipped `vit-small-data` preset's
+    embedding: stride-factored 3x3 conv/BN/GELU stages + 1x1 projection,
+    models/vit.py `conv_stem=True`) trains identically under the 8-way
+    data mesh.  The stem mixes BatchNorm batch statistics (global-batch
+    reductions under GSPMD) with the transformer's LayerNorm path —
+    neither the vit_native patchify test nor the resnet conv tests cover
+    that combination, and the preset ships it."""
+    cfg = MeshConfig()
+    mesh = make_mesh(cfg)
+    model_cfg = ModelConfig(
+        arch="vit_native", vit_patch=16, vit_conv_stem=True,
+        vit_hidden=64, vit_layers=2, vit_heads=2,
+        dtype="float32", attention_impl="xla", dropout=0.0,
+    )
+    model = build_model(model_cfg)
+    preprocess = make_preprocess(model_cfg)
+    rng = np.random.default_rng(2)
+    feats = rng.uniform(-120, 0, (16, 96, 9)).astype(np.float32)
+    labels = rng.integers(0, 19, (16, 6))
+    batch = {"features": jnp.asarray(feats), "labels": jnp.asarray(labels)}
+    make_state = lambda: create_train_state(  # noqa: E731
+        model, OptimConfig(name="adamw"), jax.random.PRNGKey(0),
+        preprocess(batch["features"][:1]),
+    )
+    train_step = make_train_step(model, preprocess)
+    s1, m1 = train_step(make_state(), batch, jax.random.PRNGKey(0), 1e-3)
+
+    state2 = make_state()
+    sharded_state = jax.device_put(
+        state2, param_shardings(mesh, state2, cfg)
+    )
+    sharded_batch = shard_batch(mesh, batch, cfg)
+    train_step2 = make_train_step(model, preprocess)
+    s2, m2 = train_step2(sharded_state, sharded_batch,
+                         jax.random.PRNGKey(0), 1e-3)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    # stem conv kernel updated equally across shardings
+    k1 = np.asarray(s1.params["vit"]["stem_conv0"]["kernel"])
+    k2 = np.asarray(s2.params["vit"]["stem_conv0"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=1e-5)
+    # BatchNorm batch statistics are GLOBAL-batch reductions under the
+    # mesh — the sharded step must produce the same running stats
+    b1 = np.asarray(s1.batch_stats["vit"]["stem_bn0"]["mean"])
+    b2 = np.asarray(s2.batch_stats["vit"]["stem_bn0"]["mean"])
+    np.testing.assert_allclose(b1, b2, atol=1e-5)
